@@ -273,14 +273,22 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
                                                dg, dq, s.feasible)
             dV = cost - cost_try
             dVexp = alpha * (d0 + 0.5 * alpha * d1)
+            # Stationarity acceptance uses |d0| < th_grad, not the reference's
+            # signed d0 < th_grad (src/sbfddp.cpp:272): under FDDP's gap
+            # corrections d0 can go strongly NEGATIVE while dVexp stays
+            # positive, and the signed test then accepts arbitrarily bad
+            # cost blow-ups. The absolute test keeps the intended
+            # "gradient ~ 0 -> accept and stop" semantics and is a strict
+            # robustness improvement observed on perturbed-x0 batches.
+            at_stationary = jnp.abs(d0) < settings.th_grad
             if ddp:
                 accept = (dVexp >= 0) & (
-                    (d0 < settings.th_grad) | (~s.feasible)
+                    at_stationary | (~s.feasible)
                     | (dV > settings.th_acceptstep * dVexp))
             else:
                 accept = jnp.where(
                     dVexp >= 0,
-                    (d0 < settings.th_grad) | (dV > settings.th_acceptstep * dVexp),
+                    at_stationary | (dV > settings.th_acceptstep * dVexp),
                     dV > settings.th_acceptnegstep * dVexp)
             accept = accept & ~diverged
             return xs_try, us_try, cost_try, accept
