@@ -1,0 +1,5 @@
+"""Plant simulators for closed-loop validation."""
+
+from .plant import AerialSimulator
+
+__all__ = ["AerialSimulator"]

@@ -51,6 +51,7 @@ class SolverSettings:
     reg_max: float = 1e9
     reg_factor: float = 10.0
     th_stop_gaps: float = 1.0     # gap stopping test bound (sbfddp.cpp:27)
+    boxqp_iters: int = 12         # projected-Newton iterations (box solvers)
 
     @property
     def alphas(self):
@@ -107,7 +108,49 @@ def _gaps(spec, params, xs, derivs, feasible):
     return jnp.where(feasible, jnp.zeros_like(fs), fs)
 
 
-def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible):
+def _boxqp(H, q, lo, hi, x0, n_iters):
+    """Projected-Newton box QP: min 0.5 x'Hx + q'x  s.t. lo <= x <= hi.
+
+    Fixed-iteration, mask-based variant of the Tassa/crocoddyl BoxQP used by
+    the Box-DDP/FDDP backward pass — the clamped set is handled by masking
+    rows/columns of H (nu <= ~11, so a dense masked solve beats any
+    active-set bookkeeping on TPU). Infinite bounds degrade gracefully to
+    the unconstrained Newton step. Returns (x, free_mask)."""
+    dtype = H.dtype
+    eps = jnp.asarray(1e-9, dtype)
+
+    def clamped_set(x, g):
+        return ((x <= lo + eps) & (g > 0)) | ((x >= hi - eps) & (g < 0))
+
+    def fval(x):
+        return 0.5 * x @ H @ x + q @ x
+
+    # step-length ladder: the clipped Newton step can increase f, so pick the
+    # best of a geometric set (incl. the current point) — monotone by
+    # construction, and all candidates evaluate in one batched matmul
+    ladder = 0.5 ** jnp.arange(8, dtype=dtype)
+
+    def body(_, x):
+        g = q + H @ x
+        fmask = (~clamped_set(x, g)).astype(dtype)
+        M = H * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        dx = jnp.linalg.solve(M, -g * fmask)
+        cands = jnp.clip(x[None, :] + ladder[:, None] * dx[None, :], lo, hi)
+        cands = jnp.concatenate([cands, x[None, :]], axis=0)
+        fs = 0.5 * jnp.einsum("ai,ij,aj->a", cands, H, cands) + cands @ q
+        return cands[jnp.argmin(fs)]
+
+    x = jax.lax.fori_loop(0, n_iters, body, jnp.clip(x0, lo, hi))
+    g = q + H @ x
+    return x, ~clamped_set(x, g)
+
+
+def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
+                   box=None):
+    """Riccati recursion. ``box=(us, lb, ub, qp_iters)`` switches the gain
+    computation to the Box-DDP projected QP (crocoddyl SolverBoxDDP:
+    feedforward from a BoxQP on the control bounds, feedback rows of the
+    clamped dimensions zeroed)."""
     ndx = spec.state.ndx
     nu = spec.nu
     _, LxT, LxxT = term
@@ -120,7 +163,10 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible):
 
     def step(carry, inp):
         Vx, Vxx = carry
-        d, f = inp
+        if box is None:
+            d, f = inp
+        else:
+            d, f, u_t = inp
         FxTV = d.Fx.T @ Vxx
         FuTV = d.Fu.T @ Vxx
         Qx = d.Lx + d.Fx.T @ Vx
@@ -128,9 +174,18 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible):
         Qxx = d.Lxx + FxTV @ d.Fx
         Qxu = d.Lxu + FxTV @ d.Fu
         Quu = d.Luu + FuTV @ d.Fu + ureg * I_nu
-        chol = jnp.linalg.cholesky(Quu)            # NaN on non-PD
-        k = jsl.cho_solve((chol, True), Qu)
-        K = jsl.cho_solve((chol, True), Qxu.T)     # (nu, ndx)
+        if box is None:
+            chol = jnp.linalg.cholesky(Quu)            # NaN on non-PD
+            k = jsl.cho_solve((chol, True), Qu)
+            K = jsl.cho_solve((chol, True), Qxu.T)     # (nu, ndx)
+        else:
+            _, lb_u, ub_u, qp_iters = box
+            du, free = _boxqp(Quu, Qu, lb_u - u_t, ub_u - u_t,
+                              jnp.zeros_like(u_t), qp_iters)
+            k = -du
+            fmask = free.astype(dtype)
+            M = Quu * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+            K = jnp.linalg.solve(M, fmask[:, None] * Qxu.T)
         Quuk = Quu @ k
         Vx_n = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
         Vxx_n = Qxx - Qxu @ K
@@ -138,7 +193,8 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible):
         Vx_n = Vx_n + jnp.where(feasible, 0.0, Vxx_n @ f)
         return (Vx_n, Vxx_n), (k, K, Qu, Quuk, Vx_n, Vxx_n)
 
-    (_, _), outs = jax.lax.scan(step, (VxT, VxxT), (derivs, fs[:-1]),
+    xs_in = (derivs, fs[:-1]) if box is None else (derivs, fs[:-1], box[0])
+    (_, _), outs = jax.lax.scan(step, (VxT, VxxT), xs_in,
                                 reverse=True)
     k, K, Qu, Quuk, Vx_r, Vxx_r = outs
     Vx = jnp.concatenate([Vx_r, VxT[None]], axis=0)
@@ -147,14 +203,17 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible):
     return BackwardPassData(k, K, Qu, Quuk, Vx, Vxx, ok)
 
 
-def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg):
+def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
+                       box=False):
     """calcDiff + backward pass with regularization escalation on failure
     (reference loop at src/sbfddp.cpp:242-255)."""
     derivs, term = P.calc_diff_all(spec, params, xs, us)
     cost = jnp.sum(derivs.cost) + term[0]
     fs = _gaps(spec, params, xs, derivs, feasible)
+    box_info = (us, params.glob.s_lb, params.glob.s_ub,
+                settings.boxqp_iters) if box else None
 
-    bp0 = _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible)
+    bp0 = _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible, box_info)
 
     def cond(c):
         xr, _, bp = c
@@ -164,7 +223,8 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg):
         xr, ur, _ = c
         xr = jnp.minimum(xr * settings.reg_factor, settings.reg_max)
         ur = jnp.minimum(ur * settings.reg_factor, settings.reg_max)
-        return xr, ur, _backward_pass(spec, derivs, term, fs, xr, ur, feasible)
+        return xr, ur, _backward_pass(spec, derivs, term, fs, xr, ur, feasible,
+                                      box_info)
 
     xreg, ureg, bp = jax.lax.while_loop(cond, body, (xreg, ureg, bp0))
     failed = ~bp.ok
@@ -175,11 +235,13 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg):
 # Forward passes (rolled out for every alpha in parallel)
 # ---------------------------------------------------------------------------
 
-def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps):
+def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
+                  box=False):
     """FDDP forward pass (crocoddyl SolverFDDP::forwardPass): the rollout
     starts from x0 and contracts the gaps by (alpha - 1) when infeasible.
     With ``use_gaps=False`` it is the plain DDP rollout
-    (reference forwardPassDDP, src/sbfddp.cpp:416-460)."""
+    (reference forwardPassDDP, src/sbfddp.cpp:416-460). ``box`` clamps the
+    controls to the bounds (crocoddyl SolverBoxDDP::forwardPass)."""
     st = spec.state
     views = P.running_views(params.node, spec.T)
     keep_gaps = use_gaps & (~feasible) & (alpha != 1.0)
@@ -190,6 +252,8 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps):
         x_try = jnp.where(keep_gaps, st.integrate(xnext, f_t * (alpha - 1.0)), xnext)
         dx = st.diff(x_t, x_try)
         u_try = u_t - alpha * k_t - K_t @ dx
+        if box:
+            u_try = jnp.clip(u_try, params.glob.s_lb, params.glob.s_ub)
         xn, c, _ = P.node_calc(spec, view, params.glob, x_try, u_try)
         diverged = diverged | ~jnp.isfinite(c) | ~jnp.all(jnp.isfinite(xn))
         return (xn, cost_acc + c, diverged), (x_try, u_try)
@@ -231,7 +295,8 @@ def _expected_improvement(spec, bp, fs, xs, xs_try, dg, dq, feasible):
 # ---------------------------------------------------------------------------
 
 def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
-                      maxiter, th_stop, reg_init, feasible_init, *, ddp: bool):
+                      maxiter, th_stop, reg_init, feasible_init, *, ddp: bool,
+                      box: bool = False):
     """Shared outer loop for FDDP (gap-aware) and the DDP polish variant.
 
     All loop-carried quantities are arrays; vmap over ``params`` batches the
@@ -257,7 +322,8 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
 
     def body(s: _IterState):
         cost, fs, bp, xreg, ureg, failed = _compute_direction(
-            spec, settings, params, s.xs, s.us, s.feasible, s.xreg, s.ureg)
+            spec, settings, params, s.xs, s.us, s.feasible, s.xreg, s.ureg,
+            box=box)
         gap_norm = jnp.max(jnp.abs(fs))
 
         dg, dq = _expected_improvement_terms(bp, fs, s.feasible)
@@ -265,7 +331,7 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         def try_alpha(alpha):
             xs_try, us_try, cost_try, diverged = _forward_pass(
                 spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
-                use_gaps=jnp.asarray(not ddp))
+                use_gaps=jnp.asarray(not ddp), box=box)
             if ddp:
                 d0, d1 = dg, dq
             else:
@@ -317,12 +383,16 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         failed = failed | (inc & (xreg >= settings.reg_max))
 
         # stopping: cost-reduction criterion + gap test (fork semantics used
-        # by SbFDDP: StopCriteriaCostReduction / StopTestGaps)
+        # by SbFDDP: StopCriteriaCostReduction / StopTestGaps). The reduction
+        # must be NON-NEGATIVE to count as convergence — the reference's
+        # signed test would declare a cost-increasing accepted step (possible
+        # on the unconditional infeasible first DDP accept) converged.
         stop_val = jnp.where(any_accept, cost - cost_new, s.stop_val)
+        small_red = (stop_val >= 0) & (stop_val < th_stop)
         if ddp:
-            done = any_accept & (stop_val < th_stop) & feas_new
+            done = any_accept & small_red & feas_new
         else:
-            done = any_accept & (stop_val < th_stop) & (gap_norm < settings.th_stop_gaps)
+            done = any_accept & small_red & (gap_norm < settings.th_stop_gaps)
 
         return _IterState(
             xs=xs_new, us=us_new, cost=cost_new, feasible=feas_new,
@@ -354,6 +424,26 @@ def solve_ddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,
               reg_init=1e-9, feasible=False):
     return solve_fddp_or_ddp(spec, settings, params, xs_init, us_init,
                              maxiter, th_stop, reg_init, feasible, ddp=True)
+
+
+def solve_box_fddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,
+                   reg_init=1e-9, feasible=False):
+    """Box-FDDP (crocoddyl SolverBoxFDDP): gap-aware FDDP with control-bound
+    projected-QP gains and clamped rollouts. Bounds live in
+    ``params.glob.s_lb/s_ub``; the problem spec must NOT squash
+    (``use_squash=False`` — box solvers consume raw controls, reference
+    selection at src/mpc-controllers/carrot-mpc.cpp:236-241)."""
+    return solve_fddp_or_ddp(spec, settings, params, xs_init, us_init,
+                             maxiter, th_stop, reg_init, feasible, ddp=False,
+                             box=True)
+
+
+def solve_box_ddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,
+                  reg_init=1e-9, feasible=False):
+    """Box-DDP (crocoddyl SolverBoxDDP): plain rollout variant."""
+    return solve_fddp_or_ddp(spec, settings, params, xs_init, us_init,
+                             maxiter, th_stop, reg_init, feasible, ddp=True,
+                             box=True)
 
 
 def default_init(spec, params, dtype=None):
