@@ -222,6 +222,73 @@ def frame_velocity(model: RobotModel, q, v, frame_id: int):
 
 
 # ---------------------------------------------------------------------------
+# Contact dynamics (KKT-constrained forward dynamics)
+# ---------------------------------------------------------------------------
+
+def frame_jacobian_local(model: RobotModel, q, frame_id: int):
+    """LOCAL-frame Jacobian J (6, nv): v_frame = J @ v. Exact via one
+    jacfwd of the (linear-in-v) frame velocity."""
+    nv = model.nv
+    z = jnp.zeros(nv, dtype=q.dtype)
+    _, jvp = jax.linearize(lambda vv: frame_velocity(model, q, vv, frame_id), z)
+    return jax.vmap(jvp)(jnp.eye(nv, dtype=q.dtype)).T
+
+
+def frame_accel_drift(model: RobotModel, q, v, frame_id: int):
+    """Spatial acceleration of a frame under zero joint acceleration (the
+    J̇v drift), expressed in the frame (LOCAL). The coordinate time
+    derivative of the body-frame twist IS the body-frame spatial
+    acceleration, so one manifold jvp along qdot is exact."""
+    from . import lie as _lie
+
+    nv = model.nv
+    dtype = q.dtype
+
+    def f(dq):
+        p2, q2 = _lie.se3_mul(q[..., :3], q[..., 3:7],
+                              *_lie.exp6(dq[..., :6]))
+        qq = jnp.concatenate([p2, q2, q[..., 7:] + dq[..., 6:]], axis=-1)
+        return frame_velocity(model, qq, v, frame_id)
+
+    z = jnp.zeros(nv, dtype=dtype)
+    _, drift = jax.jvp(f, (z,), (v,))
+    return drift
+
+
+def contact_fwd_dynamics(model: RobotModel, q, v, tau, J_rows, a0_rows,
+                         active, damping: float = 0.0):
+    """Constrained forward dynamics with per-contact activity masks.
+
+    Solves  M a + b = tau + Jc' lam ;  Jc a + a0 = 0  for the ACTIVE rows
+    (crocoddyl ``DifferentialActionModelContactFwdDynamics`` semantics, used
+    by the reference's contact stages, /root/reference/src/factory/
+    diff-action.cpp:31-32). Inactive rows are masked out of the Schur
+    complement, which reduces EXACTLY to free dynamics with lam = 0 — so one
+    uniform compiled structure serves contact and non-contact nodes.
+
+    J_rows: (nc, nv) stacked constraint Jacobians; a0_rows: (nc,) desired
+    -(Jc a) values incl. Baumgarte terms; active: (nc,) float mask.
+    Returns (a, lam).
+    """
+    M = crba(model, q)
+    b = bias_force(model, q, v)
+    chol = jsl.cho_factor(M, lower=True)
+    free_acc = jsl.cho_solve(chol, tau - b)          # unconstrained a
+
+    Jm = active[:, None] * J_rows
+    MinvJt = jsl.cho_solve(chol, Jm.T)               # (nv, nc)
+    G = Jm @ MinvJt
+    nc = J_rows.shape[0]
+    I = jnp.eye(nc, dtype=q.dtype)
+    # inactive rows/cols are zero in G; a unit diagonal there yields lam = 0
+    G = G + jnp.diag(1.0 - active) + damping * I
+    rhs = Jm @ free_acc + active * a0_rows
+    lam = -jnp.linalg.solve(G, rhs)
+    a = free_acc + MinvJt @ lam
+    return a, lam
+
+
+# ---------------------------------------------------------------------------
 # Diagnostics (used by the energy-conservation tests)
 # ---------------------------------------------------------------------------
 

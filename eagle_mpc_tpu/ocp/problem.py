@@ -74,6 +74,8 @@ class NodeParams(NamedTuple):
     weight: jnp.ndarray               # (T+1, K)
     active: jnp.ndarray               # (T+1, K) float mask
     refs: Tuple[jnp.ndarray, ...]     # per slot: (T+1, ref_dim)
+    contact_active: jnp.ndarray = None       # (T+1, NC) float mask
+    contact_refs: Tuple[jnp.ndarray, ...] = ()  # per contact: (T+1, ref_dim)
 
 
 class GlobalParams(NamedTuple):
@@ -99,20 +101,41 @@ class NodeView(NamedTuple):
     weight: jnp.ndarray
     active: jnp.ndarray
     refs: Tuple[jnp.ndarray, ...]
+    contact_active: jnp.ndarray = None
+    contact_refs: Tuple[jnp.ndarray, ...] = ()
 
 
 def node_view(node: NodeParams, t) -> NodeView:
-    return NodeView(node.weight[t], node.active[t], tuple(r[t] for r in node.refs))
+    ca = None if node.contact_active is None else node.contact_active[t]
+    return NodeView(node.weight[t], node.active[t],
+                    tuple(r[t] for r in node.refs),
+                    ca, tuple(r[t] for r in node.contact_refs))
 
 
 def running_views(node: NodeParams, T: int) -> NodeView:
     """Batched view over the T running nodes (for vmap over the horizon)."""
-    return NodeView(node.weight[:T], node.active[:T], tuple(r[:T] for r in node.refs))
+    ca = None if node.contact_active is None else node.contact_active[:T]
+    return NodeView(node.weight[:T], node.active[:T],
+                    tuple(r[:T] for r in node.refs),
+                    ca, tuple(r[:T] for r in node.contact_refs))
 
 
 # ---------------------------------------------------------------------------
 # Problem spec
 # ---------------------------------------------------------------------------
+
+class ContactSlot(NamedTuple):
+    """Static description of one contact channel (crocoddyl
+    ContactModel3D/6D as instantiated by the reference factory,
+    /root/reference/src/factory/contacts.cpp). Per-node activity and the
+    reference position/pose are parameters; Baumgarte gains are static."""
+
+    name: str
+    frame_id: int
+    dim: int                 # 3 (point) or 6 (placement)
+    ref_dim: int             # 3 or 7 (p + quat)
+    gains: Tuple[float, float] = (0.0, 0.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class ProblemSpec:
@@ -124,6 +147,7 @@ class ProblemSpec:
     T: int
     dt: float                                 # seconds
     use_squash: bool
+    contacts: Tuple[ContactSlot, ...] = ()
 
     @property
     def state(self) -> State:
@@ -133,9 +157,13 @@ class ProblemSpec:
     def tau_f_np(self) -> np.ndarray:
         return np.asarray(self.tau_f)
 
+    @property
+    def nc_rows(self) -> int:
+        return sum(c.dim for c in self.contacts)
+
     def __hash__(self):
         return hash((self.model, self.nu, self.slots, self.integrator, self.T,
-                     self.dt, self.use_squash, self.tau_f))
+                     self.dt, self.use_squash, self.tau_f, self.contacts))
 
 
 class NodeDerivatives(NamedTuple):
@@ -160,28 +188,88 @@ def squash(spec: ProblemSpec, glob: GlobalParams, s):
     return act.smooth_sat(s, glob.s_lb, glob.s_ub, glob.squash_smooth)
 
 
-def _dam(spec: ProblemSpec, glob: GlobalParams, x, s):
-    """Continuous dynamics: control -> (squash) -> allocation -> fwd dyn."""
+def _contact_rows(spec: ProblemSpec, view: NodeView, x):
+    """Stacked constraint Jacobian rows, drift+Baumgarte terms and per-row
+    activity masks for every contact slot at one evaluation point.
+
+    3-D contact: LOCAL-frame point acceleration (crocoddyl ContactModel3D:
+    a.linear + w x v_lin) with Baumgarte on the position error (rotated into
+    the local frame) and linear velocity. 6-D: full LOCAL spatial
+    acceleration with Baumgarte on the SE3 log error and twist."""
+    from ..dynamics import lie
+
+    st = spec.state
+    q, v = x[..., : st.nq], x[..., st.nq :]
+    Js, a0s, acts = [], [], []
+    for ci, c in enumerate(spec.contacts):
+        J6 = rbd.frame_jacobian_local(spec.model, q, c.frame_id)
+        drift = rbd.frame_accel_drift(spec.model, q, v, c.frame_id)
+        vf = rbd.frame_velocity(spec.model, q, v, c.frame_id)
+        ref = view.contact_refs[ci]
+        kp, kd = c.gains
+        if c.dim == 3:
+            p, R = rbd.frame_placement(spec.model, q, c.frame_id)
+            a0 = drift[:3] + jnp.cross(vf[3:], vf[:3])
+            a0 = a0 + kp * (R.T @ (p - ref)) + kd * vf[:3]
+            Js.append(J6[:3])
+        else:
+            p, R = rbd.frame_placement(spec.model, q, c.frame_id)
+            pref, qref = ref[..., :3], ref[..., 3:7]
+            Rref = lie.quat_to_rot(qref)
+            err = lie.log6(Rref.T @ (p - pref),
+                           lie.rot_to_quat(Rref.T @ R))
+            a0 = drift + kp * err + kd * vf
+            Js.append(J6)
+        a0s.append(a0)
+        acts.append(jnp.broadcast_to(view.contact_active[ci], (c.dim,)))
+    return (jnp.concatenate(Js, axis=0), jnp.concatenate(a0s, axis=0),
+            jnp.concatenate(acts, axis=0))
+
+
+def _split_forces(spec: ProblemSpec, lam):
+    forces = []
+    off = 0
+    for c in spec.contacts:
+        forces.append(lam[off : off + c.dim])
+        off += c.dim
+    return tuple(forces)
+
+
+def _dam(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
+    """Continuous dynamics: control -> (squash) -> allocation -> fwd dyn
+    (free or contact-constrained). Returns (a, u_squash, forces)."""
     u = squash(spec, glob, s)
     tau_f = jnp.asarray(spec.tau_f_np, dtype=x.dtype)
     tau = act.actuation_tau(tau_f, u)
     st = spec.state
-    a = rbd.fwd_dynamics(spec.model, x[: st.nq], x[st.nq :], tau)
-    return a, u
+    q, v = x[..., : st.nq], x[..., st.nq :]
+    if not spec.contacts:
+        return rbd.fwd_dynamics(spec.model, q, v, tau), u, ()
+    J, a0, active = _contact_rows(spec, view, x)
+    a, lam = rbd.contact_fwd_dynamics(spec.model, q, v, tau, J, a0, active)
+    return a, u, _split_forces(spec, lam)
 
 
 def _point_residuals(spec: ProblemSpec, view: NodeView, glob: GlobalParams,
-                     x, s, terminal: bool):
+                     x, s, terminal: bool, forces=()):
     """Residual vectors of every slot at one evaluation point. Control-type
     slots at the terminal node get a zero residual (crocoddyl convention:
-    state-only calc zeroes control residuals)."""
+    state-only calc zeroes control residuals). ``forces``: per-contact local
+    forces from the constrained dynamics (friction-cone residuals)."""
     st = spec.state
     cache = C.build_fk_cache(spec.model, spec.slots, x[: st.nq], x[st.nq :])
     rs = []
     for k, slot in enumerate(spec.slots):
         if slot.kind == C.FRICTION_CONE:
-            # handled by the contact problem variant
-            rs.append(jnp.zeros(slot.nr, dtype=x.dtype))
+            if not forces or slot.contact_id < 0 or terminal:
+                rs.append(jnp.zeros(slot.nr, dtype=x.dtype))
+                continue
+            # rotate the local contact force to world; cone normal is world
+            _, R = rbd.frame_placement(
+                spec.model, x[: st.nq], spec.contacts[slot.contact_id].frame_id)
+            f_w = R @ forces[slot.contact_id][:3]
+            A = jnp.asarray(np.array(slot.cone_A), dtype=x.dtype)
+            rs.append(A @ f_w)
             continue
         if terminal and slot.kind == C.CONTROL:
             rs.append(jnp.zeros(slot.nr, dtype=x.dtype))
@@ -191,8 +279,8 @@ def _point_residuals(spec: ProblemSpec, view: NodeView, glob: GlobalParams,
 
 
 def _point_cost(spec: ProblemSpec, view: NodeView, glob: GlobalParams,
-                x, s, terminal: bool):
-    rs = _point_residuals(spec, view, glob, x, s, terminal)
+                x, s, terminal: bool, forces=()):
+    rs = _point_residuals(spec, view, glob, x, s, terminal, forces)
     total = jnp.zeros((), dtype=x.dtype)
     for k, slot in enumerate(spec.slots):
         a, _, _ = C.activation(slot.activation, rs[k], glob.act_w[k],
@@ -201,46 +289,47 @@ def _point_cost(spec: ProblemSpec, view: NodeView, glob: GlobalParams,
     return total
 
 
-def _stage_points(spec: ProblemSpec, glob: GlobalParams, x, s):
+def _stage_points(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     """Evaluation points and quadrature coefficients of the integrator.
 
-    Returns ([(coeff, x_i)], xnext, u_squash_first) with coeff summing to dt.
-    Euler is the reference's symplectic Euler (IAM Euler: dq = v dt + a dt^2,
-    dv = a dt); RK4 follows crocoddyl's manifold RK4 with cost quadrature
-    dt/6 * (l0 + 2 l1 + 2 l2 + l3)."""
+    Returns ([(coeff, x_i, forces_i)], xnext, u_squash_first) with coeff
+    summing to dt. Euler is the reference's symplectic Euler (IAM Euler:
+    dq = v dt + a dt^2, dv = a dt); RK4 follows crocoddyl's manifold RK4
+    with cost quadrature dt/6 * (l0 + 2 l1 + 2 l2 + l3)."""
     st = spec.state
     dt = spec.dt
     v = x[st.nq :]
-    a0, u_sq = _dam(spec, glob, x, s)
+    a0, u_sq, f0 = _dam(spec, view, glob, x, s)
     if spec.integrator == EULER:
         vnext = v + a0 * dt
         dx = jnp.concatenate([vnext * dt, a0 * dt])
-        return [(dt, x)], st.integrate(x, dx), u_sq
+        return [(dt, x, f0)], st.integrate(x, dx), u_sq
 
     def k(xi, ai):
         return jnp.concatenate([xi[st.nq :], ai])
 
     k0 = k(x, a0)
     y1 = st.integrate(x, k0 * (dt / 2))
-    a1, _ = _dam(spec, glob, y1, s)
+    a1, _, f1 = _dam(spec, view, glob, y1, s)
     k1 = k(y1, a1)
     y2 = st.integrate(x, k1 * (dt / 2))
-    a2, _ = _dam(spec, glob, y2, s)
+    a2, _, f2 = _dam(spec, view, glob, y2, s)
     k2 = k(y2, a2)
     y3 = st.integrate(x, k2 * dt)
-    a3, _ = _dam(spec, glob, y3, s)
+    a3, _, f3 = _dam(spec, view, glob, y3, s)
     k3 = k(y3, a3)
     dx = (k0 + 2 * k1 + 2 * k2 + k3) * (dt / 6)
-    pts = [(dt / 6, x), (dt / 3, y1), (dt / 3, y2), (dt / 6, y3)]
+    pts = [(dt / 6, x, f0), (dt / 3, y1, f1), (dt / 3, y2, f2), (dt / 6, y3, f3)]
     return pts, st.integrate(x, dx), u_sq
 
 
 def node_calc(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     """One running node: (xnext, discrete cost, squashed control)."""
-    pts, xnext, u_sq = _stage_points(spec, glob, x, s)
+    pts, xnext, u_sq = _stage_points(spec, view, glob, x, s)
     cost = jnp.zeros((), dtype=x.dtype)
-    for coeff, xi in pts:
-        cost = cost + coeff * _point_cost(spec, view, glob, xi, s, terminal=False)
+    for coeff, xi, fi in pts:
+        cost = cost + coeff * _point_cost(spec, view, glob, xi, s,
+                                          terminal=False, forces=fi)
     return xnext, cost, u_sq
 
 
@@ -260,17 +349,18 @@ def node_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     ndx, nu = st.ndx, spec.nu
     dtype = x.dtype
 
-    pts0, xnext0, _ = _stage_points(spec, glob, x, s)
-    coeffs = [c for c, _ in pts0]
+    pts0, xnext0, _ = _stage_points(spec, view, glob, x, s)
+    coeffs = [c for c, _, _ in pts0]
     n_pts = len(pts0)
 
     def fun(z):
         xx = st.integrate(x, z[:ndx])
         ss = s + z[ndx:]
-        pts, xnext, _ = _stage_points(spec, glob, xx, ss)
+        pts, xnext, _ = _stage_points(spec, view, glob, xx, ss)
         outs = [st.diff(xnext0, xnext)]
-        for _, xi in pts:
-            outs.extend(_point_residuals(spec, view, glob, xi, ss, terminal=False))
+        for _, xi, fi in pts:
+            outs.extend(_point_residuals(spec, view, glob, xi, ss,
+                                         terminal=False, forces=fi))
         return jnp.concatenate(outs)
 
     z0 = jnp.zeros(ndx + nu, dtype=dtype)
@@ -291,8 +381,6 @@ def node_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
             r = val0[off : off + nr]
             Jr = J[off : off + nr]
             off += nr
-            if slot.kind == C.FRICTION_CONE:
-                continue
             a, Ar, Arr = C.activation(slot.activation, r, glob.act_w[k],
                                       glob.lb[k], glob.ub[k])
             wk = coeff * view.weight[k] * view.active[k]
@@ -330,8 +418,6 @@ def terminal_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x)
         r = val0[off : off + nr]
         Jr = J[off : off + nr]
         off += nr
-        if slot.kind == C.FRICTION_CONE:
-            continue
         a, Ar, Arr = C.activation(slot.activation, r, glob.act_w[k],
                                   glob.lb[k], glob.ub[k])
         wk = view.weight[k] * view.active[k]
@@ -455,7 +541,34 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
     model = traj.model
     nx, nu = model.nx, traj.nu
 
-    # ---- build the slot union
+    # ---- contact slot union (by frame + type); per-node activity is data.
+    # Any contact anywhere => constrained dynamics everywhere with masks
+    # (an inactive masked contact reduces exactly to free dynamics).
+    contact_keys = {}
+    contact_slots: list = []
+    stage_contact_idx = []   # per stage: list of (contact_idx, spec)
+    for st in traj.stages:
+        entries = []
+        for con in st.contacts:
+            dim = 6 if con.type == cspecs.CONTACT_6D else 3
+            key = (con.frame_id, dim)
+            if key not in contact_keys:
+                contact_keys[key] = len(contact_slots)
+                contact_slots.append(ContactSlot(
+                    name=con.name, frame_id=con.frame_id, dim=dim,
+                    ref_dim=7 if dim == 6 else 3,
+                    gains=tuple(float(g) for g in con.gains),
+                ))
+            entries.append((contact_keys[key], con))
+        stage_contact_idx.append(entries)
+
+    def _cone_contact_id(frame_id: int) -> int:
+        for i, cs in enumerate(contact_slots):
+            if cs.frame_id == frame_id:
+                return i
+        return -1
+
+    # ---- build the cost slot union
     slot_keys = {}
     slots: list = []
     slot_specs: list = []
@@ -478,6 +591,8 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
                     nr=cost.nr,
                     ref_dim=ref_dims.get(kind, C.REF_DIMS.get(kind, cost.nr)),
                     frame_id=cost.frame_id,
+                    contact_id=_cone_contact_id(cost.frame_id)
+                    if kind == C.FRICTION_CONE else -1,
                     cone_A=cone,
                 ))
                 slot_specs.append(cost)
@@ -499,6 +614,7 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
         tau_f=tuple(map(tuple, traj.platform.tau_f)),
         slots=tuple(slots), integrator=integ, T=T,
         dt=dt_ms / 1000.0, use_squash=use_squash,
+        contacts=tuple(contact_slots),
     )
 
     # ---- fill parameters
@@ -515,6 +631,15 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
             t += 1
     node_stage[T] = term_stage
 
+    NC = len(contact_slots)
+    contact_active = np.zeros((T + 1, NC))
+    contact_refs = []
+    for cs in contact_slots:
+        r = np.zeros(cs.ref_dim)
+        if cs.ref_dim == 7:
+            r[6] = 1.0
+        contact_refs.append(np.tile(r, (T + 1, 1)))
+
     for t in range(T + 1):
         for k_idx, cost in stage_slot_idx[node_stage[t]]:
             weight[t, k_idx] = cost.weight
@@ -522,6 +647,12 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
             ref = _encode_ref(cost, nx, nu)
             if len(ref):
                 refs[k_idx][t] = ref
+        for c_idx, con in stage_contact_idx[node_stage[t]]:
+            contact_active[t, c_idx] = 1.0
+            if contact_slots[c_idx].ref_dim == 7:
+                contact_refs[c_idx][t] = np.concatenate([con.position, con.orientation])
+            else:
+                contact_refs[c_idx][t] = np.asarray(con.position, dtype=np.float64)
 
     s_lb = np.asarray(traj.platform.u_lb, dtype=np.float64)
     s_ub = np.asarray(traj.platform.u_ub, dtype=np.float64)
@@ -548,6 +679,8 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
         node=NodeParams(
             weight=cvt(weight), active=cvt(active),
             refs=tuple(cvt(r) for r in refs),
+            contact_active=cvt(contact_active) if NC else None,
+            contact_refs=tuple(cvt(r) for r in contact_refs),
         ),
         glob=GlobalParams(
             act_w=tuple(cvt(a) for a in act_w),
