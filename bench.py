@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--unroll", type=int, default=1, help="T-axis scan unroll")
+    ap.add_argument("--alphas", type=int, default=10, help="line-search steps")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +82,12 @@ def main():
     us_w = us_w.at[:, :, : mp.platform.n_rotors].set(hover)
     t_ms = jnp.zeros((B,), dtype=dtype)
 
-    settings = ctrl.solver_settings()
+    from eagle_mpc_tpu.solvers import fddp, sbfddp
+
+    settings = sbfddp.SbFddpSettings(
+        convergence_init=1e-3,
+        solver=fddp.SolverSettings(scan_unroll=args.unroll,
+                                   n_alphas=args.alphas))
 
     def tick(t, x0, xs, us):
         params = ctrl.update_problem(t, params0._replace(x0=x0))

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,7 +116,7 @@ class MpcAbstract:
     # ------------------------------------------------------------------
     def _finalize_problem(self, slots, slot_weights, slot_active, slot_refs,
                           act_w, lbs, ubs, x0=None, squash_smooth=0.1,
-                          dtype=jnp.float64):
+                          dtype=None):
         """Assemble spec + params from per-slot scaffolding.
 
         ``slot_weights``/``slot_active``: (K,) per-slot scalars replicated
@@ -123,6 +124,8 @@ class MpcAbstract:
         The barrier slot for SbFDDP is appended here (running nodes only,
         mirroring the reference's barrierInit over running models,
         /root/reference/src/sbfddp.cpp:169-190)."""
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         mp = self.mpc_params
         model = mp.model
         nu = mp.platform.nu
@@ -179,7 +182,7 @@ class MpcAbstract:
 
 def make_reference_sampler(state, state_ref: np.ndarray, t_ref: np.ndarray,
                            hold_yaw_only: bool = False,
-                           dtype=jnp.float64) -> Callable:
+                           dtype=None) -> Callable:
     """Vectorizable sampler of the offline reference trajectory.
 
     Follows CarrotMpc::computeStateReference
@@ -191,6 +194,8 @@ def make_reference_sampler(state, state_ref: np.ndarray, t_ref: np.ndarray,
 
     Returns ``sample(t_ms) -> (nx,)`` for a scalar time; vmap it over nodes.
     """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     state_ref = jnp.asarray(state_ref, dtype=dtype)
     t_ref = jnp.asarray(t_ref, dtype=dtype)
     N = state_ref.shape[0]

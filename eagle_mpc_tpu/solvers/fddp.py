@@ -52,6 +52,8 @@ class SolverSettings:
     reg_factor: float = 10.0
     th_stop_gaps: float = 1.0     # gap stopping test bound (sbfddp.cpp:27)
     boxqp_iters: int = 12         # projected-Newton iterations (box solvers)
+    scan_unroll: int = 1          # lax.scan unroll for the T-axis scans
+                                  # (TPU: amortizes per-step dispatch latency)
 
     @property
     def alphas(self):
@@ -146,7 +148,7 @@ def _boxqp(H, q, lo, hi, x0, n_iters):
 
 
 def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
-                   box=None):
+                   box=None, unroll=1):
     """Riccati recursion. ``box=(us, lb, ub, qp_iters)`` switches the gain
     computation to the Box-DDP projected QP (crocoddyl SolverBoxDDP:
     feedforward from a BoxQP on the control bounds, feedback rows of the
@@ -195,7 +197,7 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
 
     xs_in = (derivs, fs[:-1]) if box is None else (derivs, fs[:-1], box[0])
     (_, _), outs = jax.lax.scan(step, (VxT, VxxT), xs_in,
-                                reverse=True)
+                                reverse=True, unroll=unroll)
     k, K, Qu, Quuk, Vx_r, Vxx_r = outs
     Vx = jnp.concatenate([Vx_r, VxT[None]], axis=0)
     Vxx = jnp.concatenate([Vxx_r, VxxT[None]], axis=0)
@@ -213,7 +215,8 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
     box_info = (us, params.glob.s_lb, params.glob.s_ub,
                 settings.boxqp_iters) if box else None
 
-    bp0 = _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible, box_info)
+    bp0 = _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible, box_info,
+                         unroll=settings.scan_unroll)
 
     def cond(c):
         xr, _, bp = c
@@ -224,7 +227,7 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
         xr = jnp.minimum(xr * settings.reg_factor, settings.reg_max)
         ur = jnp.minimum(ur * settings.reg_factor, settings.reg_max)
         return xr, ur, _backward_pass(spec, derivs, term, fs, xr, ur, feasible,
-                                      box_info)
+                                      box_info, unroll=settings.scan_unroll)
 
     xreg, ureg, bp = jax.lax.while_loop(cond, body, (xreg, ureg, bp0))
     failed = ~bp.ok
@@ -236,7 +239,7 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
 # ---------------------------------------------------------------------------
 
 def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
-                  box=False):
+                  box=False, unroll=1):
     """FDDP forward pass (crocoddyl SolverFDDP::forwardPass): the rollout
     starts from x0 and contracts the gaps by (alpha - 1) when infeasible.
     With ``use_gaps=False`` it is the plain DDP rollout
@@ -260,7 +263,8 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
 
     init = (params.x0, jnp.zeros((), dtype=xs.dtype), jnp.zeros((), dtype=bool))
     (xnext, cost_try, diverged), (xs_try, us_try) = jax.lax.scan(
-        step, init, (xs[: spec.T], us, bp.k, bp.K, fs[:-1], views))
+        step, init, (xs[: spec.T], us, bp.k, bp.K, fs[:-1], views),
+        unroll=unroll)
     xT_try = jnp.where(keep_gaps, st.integrate(xnext, fs[-1] * (alpha - 1.0)), xnext)
     cT = P.terminal_calc(spec, P.node_view(params.node, spec.T), params.glob, xT_try)
     cost_try = cost_try + cT
@@ -331,7 +335,8 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         def try_alpha(alpha):
             xs_try, us_try, cost_try, diverged = _forward_pass(
                 spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
-                use_gaps=jnp.asarray(not ddp), box=box)
+                use_gaps=jnp.asarray(not ddp), box=box,
+                unroll=settings.scan_unroll)
             if ddp:
                 d0, d1 = dg, dq
             else:
