@@ -4,7 +4,9 @@ from .base import MPC_TYPES, SOLVER_TYPES, MpcAbstract
 from .carrot import CarrotMpc
 from .loop import ClosedLoopResult, run_closed_loop
 from .rail import RailMpc
+from .task_mpc import TaskActivatedCarrotMpc
 from .weighted import WeightedMpc
 
 __all__ = ["MpcAbstract", "CarrotMpc", "RailMpc", "WeightedMpc",
-           "run_closed_loop", "ClosedLoopResult", "MPC_TYPES", "SOLVER_TYPES"]
+           "TaskActivatedCarrotMpc", "run_closed_loop", "ClosedLoopResult",
+           "MPC_TYPES", "SOLVER_TYPES"]

@@ -50,6 +50,46 @@ def merge_transition_stages(stages: Tuple[cspecs.StageSpec, ...]):
     return tuple(merged)
 
 
+def mission_cost_slots(stages, model, nu):
+    """Union-of-stage-costs slot table: one slot per (stage, cost) named
+    "<stage>/<cost>", with per-slot stage index / reg-exemption / base weight
+    side arrays. Shared by WeightedMpc and TaskActivatedCarrotMpc."""
+    nx = model.nx
+    slots, weights, refs, act_w, lbs, ubs = [], [], [], [], [], []
+    slot_stage: List[int] = []
+    slot_exempt: List[bool] = []   # '/reg*' and '/limits*' keep stage weight
+    slot_stage_weight: List[float] = []
+    for si, st in enumerate(stages):
+        for cost in st.costs:
+            kind = P._KIND_MAP[cost.type]
+            ref_dims = {C.STATE: nx, C.CONTROL: nu, C.FRICTION_CONE: 0}
+            slots.append(C.CostSlot(
+                name=f"{st.name}/{cost.name}",
+                kind=kind,
+                activation=P._ACT_MAP[cost.activation],
+                nr=cost.nr,
+                ref_dim=ref_dims.get(kind, C.REF_DIMS.get(kind, cost.nr)),
+                frame_id=cost.frame_id,
+            ))
+            weights.append(cost.weight)
+            r = P._encode_ref(cost, nx, nu)
+            refs.append(r if len(r) else np.zeros(0))
+            w = cost.act_weights if cost.act_weights is not None else np.ones(cost.nr)
+            lb = cost.lower_bound if cost.lower_bound is not None \
+                else np.full(cost.nr, -np.inf)
+            ub = cost.upper_bound if cost.upper_bound is not None \
+                else np.full(cost.nr, np.inf)
+            act_w.append(np.asarray(w, dtype=np.float64))
+            lbs.append(np.asarray(lb, dtype=np.float64))
+            ubs.append(np.asarray(ub, dtype=np.float64))
+            slot_stage.append(si)
+            slot_exempt.append(cost.name.startswith("reg")
+                               or cost.name.startswith("limits"))
+            slot_stage_weight.append(cost.weight)
+    return (slots, weights, refs, act_w, lbs, ubs,
+            slot_stage, slot_exempt, slot_stage_weight)
+
+
 @dataclasses.dataclass
 class WeightedMpc(base.MpcAbstract):
     trajectory: cspecs.TrajectorySpec = None
@@ -75,38 +115,9 @@ class WeightedMpc(base.MpcAbstract):
         # slot union: one slot per (stage, cost); weight/activity per node
         # are parameters. Reference slot name "<stage>/<cost>".
         model = mp.model
-        nx, nu = model.nx, mp.platform.nu
-        slots, weights, refs, act_w, lbs, ubs = [], [], [], [], [], []
-        slot_stage: List[int] = []
-        slot_exempt: List[bool] = []   # '/reg*' and '/limits*' keep stage weight
-        slot_stage_weight: List[float] = []
-        for si, st in enumerate(self._stages):
-            for cost in st.costs:
-                kind = P._KIND_MAP[cost.type]
-                ref_dims = {C.STATE: nx, C.CONTROL: nu, C.FRICTION_CONE: 0}
-                slots.append(C.CostSlot(
-                    name=f"{st.name}/{cost.name}",
-                    kind=kind,
-                    activation=P._ACT_MAP[cost.activation],
-                    nr=cost.nr,
-                    ref_dim=ref_dims.get(kind, C.REF_DIMS.get(kind, cost.nr)),
-                    frame_id=cost.frame_id,
-                ))
-                weights.append(cost.weight)
-                r = P._encode_ref(cost, nx, nu)
-                refs.append(r if len(r) else np.zeros(0))
-                w = cost.act_weights if cost.act_weights is not None else np.ones(cost.nr)
-                lb = cost.lower_bound if cost.lower_bound is not None \
-                    else np.full(cost.nr, -np.inf)
-                ub = cost.upper_bound if cost.upper_bound is not None \
-                    else np.full(cost.nr, np.inf)
-                act_w.append(np.asarray(w, dtype=np.float64))
-                lbs.append(np.asarray(lb, dtype=np.float64))
-                ubs.append(np.asarray(ub, dtype=np.float64))
-                slot_stage.append(si)
-                slot_exempt.append(cost.name.startswith("reg")
-                                   or cost.name.startswith("limits"))
-                slot_stage_weight.append(cost.weight)
+        (slots, weights, refs, act_w, lbs, ubs, slot_stage, slot_exempt,
+         slot_stage_weight) = mission_cost_slots(
+            self._stages, model, mp.platform.nu)
 
         self._finalize_problem(
             slots,
