@@ -54,6 +54,8 @@ class SolverSettings:
     boxqp_iters: int = 12         # projected-Newton iterations (box solvers)
     scan_unroll: int = 1          # lax.scan unroll for the T-axis scans
                                   # (TPU: amortizes per-step dispatch latency)
+    parallel_riccati: bool = False  # associative-scan backward pass
+                                    # (O(log T) depth; see solvers/priccati.py)
 
     @property
     def alphas(self):
@@ -215,8 +217,18 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
     box_info = (us, params.glob.s_lb, params.glob.s_ub,
                 settings.boxqp_iters) if box else None
 
-    bp0 = _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible, box_info,
-                         unroll=settings.scan_unroll)
+    if settings.parallel_riccati and box_info is None:
+        from . import priccati
+
+        def run_bp(xr, ur):
+            return priccati.parallel_backward_pass(spec, derivs, term, fs,
+                                                   xr, ur, feasible)
+    else:
+        def run_bp(xr, ur):
+            return _backward_pass(spec, derivs, term, fs, xr, ur, feasible,
+                                  box_info, unroll=settings.scan_unroll)
+
+    bp0 = run_bp(xreg, ureg)
 
     def cond(c):
         xr, _, bp = c
@@ -226,8 +238,7 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
         xr, ur, _ = c
         xr = jnp.minimum(xr * settings.reg_factor, settings.reg_max)
         ur = jnp.minimum(ur * settings.reg_factor, settings.reg_max)
-        return xr, ur, _backward_pass(spec, derivs, term, fs, xr, ur, feasible,
-                                      box_info, unroll=settings.scan_unroll)
+        return xr, ur, run_bp(xr, ur)
 
     xreg, ureg, bp = jax.lax.while_loop(cond, body, (xreg, ureg, bp0))
     failed = ~bp.ok
