@@ -35,6 +35,11 @@ def main():
 
     import jax
 
+    # persistent compile cache: the tick program is large (while_loop solver
+    # over T=30), and the host here is small — never pay XLA twice
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "f64":

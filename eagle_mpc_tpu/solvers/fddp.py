@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,7 @@ class SolverSettings:
                                   # (TPU: amortizes per-step dispatch latency)
     parallel_riccati: bool = False  # associative-scan backward pass
                                     # (O(log T) depth; see solvers/priccati.py)
+    record_trace: bool = False    # return per-iteration IterTrace telemetry
 
     @property
     def alphas(self):
@@ -72,6 +73,21 @@ class BackwardPassData(NamedTuple):
     ok: jnp.ndarray     # scalar bool — all finite
 
 
+class IterTrace(NamedTuple):
+    """Per-iteration solver telemetry — the TPU-native CallbackVerbose
+    (reference: crocoddyl CallbackVerbose attached at
+    src/mpc-controllers/carrot-mpc.cpp:244-247). Arrays have length
+    ``maxiter``; entries past ``iters`` hold the fill value NaN (-1 for
+    ints). Returned as data, printable on host via ``format_trace``."""
+
+    cost: jnp.ndarray        # (maxiter,) cost after each iteration
+    stop: jnp.ndarray        # (maxiter,) cost reduction of the accepted step
+    steplength: jnp.ndarray  # (maxiter,) accepted alpha (last alpha if none)
+    xreg: jnp.ndarray        # (maxiter,) state regularization after schedule
+    gap_norm: jnp.ndarray    # (maxiter,) max |gap| of the candidate
+    accepted: jnp.ndarray    # (maxiter,) int8: 1 accepted, 0 rejected, -1 unused
+
+
 class SolveResult(NamedTuple):
     xs: jnp.ndarray
     us: jnp.ndarray
@@ -82,6 +98,7 @@ class SolveResult(NamedTuple):
     gap_norm: jnp.ndarray
     xreg: jnp.ndarray
     failed: jnp.ndarray        # regularization blew past reg_max
+    trace: Optional[IterTrace] = None  # set when settings.record_trace
 
 
 class _IterState(NamedTuple):
