@@ -36,9 +36,11 @@ def main():
     import jax
 
     # persistent compile cache: the tick program is large (while_loop solver
-    # over T=30), and the host here is small — never pay XLA twice
+    # over T=30), and the host here is small — never pay XLA twice.
+    # User-scoped default path so a shared host can't collide on /tmp perms.
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+                      os.environ.get("JAX_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -22,8 +22,8 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
+from ..ops import smallmat
 from . import lie, spatial
 from .model import PRISMATIC, REVOLUTE, RobotModel
 
@@ -138,7 +138,10 @@ def _xform_p2c(p, R):
 def crba(model: RobotModel, q):
     """Composite rigid-body algorithm: joint-space mass matrix (nv x nv).
 
-    Row/col 0:6 correspond to the free-flyer base (S_base = identity)."""
+    Row/col 0:6 correspond to the free-flyer base (S_base = identity).
+    The matrix is assembled from per-entry scalars with ONE final stack —
+    ``.at[i, j].set`` in a loop would emit a chain of full-tensor
+    dynamic-update-slice copies on TPU (each padded to (8, 128) tiles)."""
     dtype = q.dtype
     nj = model.nj
     nv = model.nv
@@ -149,35 +152,50 @@ def crba(model: RobotModel, q):
         b = j + 1
         X = _xform_p2c(Xp[b], Xr[b])
         Ic[model.parent[j]] = Ic[model.parent[j]] + X.T @ Ic[b] @ X
+    if nj == 0:
+        return Ic[0]
 
-    M = jnp.zeros((nv, nv), dtype=dtype)
-    M = M.at[:6, :6].set(Ic[0])
+    ent = {}         # (6+j, 6+jj) strict-lower joint-joint entries
+    base_cols = {}   # row 6+j -> (..., 6) base-coupling block
     for j in range(nj):
         b = j + 1
         F = Ic[b] @ S[b]
-        M = M.at[6 + j, 6 + j].set(jnp.sum(S[b] * F))
+        ent[(6 + j, 6 + j)] = jnp.sum(S[b] * F, axis=-1)
         body = b
         while body != 0:
             jj = body - 1
             F = spatial.force_to_parent(Xp[body], Xr[body], F)
             body = model.parent[jj]
             if body != 0:
-                M = M.at[6 + j, 6 + body - 1].set(jnp.sum(S[body] * F))
-        M = M.at[6 + j, :6].set(F)
-    # mirror the lower triangle built above
-    M = jnp.tril(M) + jnp.tril(M, -1).T
-    return M
+                ent[(6 + j, 6 + body - 1)] = jnp.sum(S[body] * F, axis=-1)
+        base_cols[6 + j] = F
+
+    zero = jnp.zeros_like(q[..., 0])
+
+    def entry(i, c):
+        if i < 6 and c < 6:
+            return Ic[0][..., i, c]
+        if i >= 6 and c < 6:
+            return base_cols[i][..., c]
+        if i < 6:
+            return base_cols[c][..., i]
+        return ent.get((max(i, c), min(i, c)), zero)
+
+    rows = [jnp.stack([entry(i, c) for c in range(nv)], axis=-1)
+            for i in range(nv)]
+    return jnp.stack(rows, axis=-2)
 
 
 def fwd_dynamics(model: RobotModel, q, v, tau, f_ext=None):
     """Forward dynamics a = M(q)^{-1} (tau - b(q, v)) via Cholesky.
 
     Functional equivalent of pinocchio ABA as used inside the reference's
-    free-dynamics action model; O(nv^3) but nv <= 11 and fully batched."""
+    free-dynamics action model; O(nv^3) but nv <= 11 and fully batched.
+    The solve is trace-time unrolled (ops.smallmat) — XLA's batched linalg
+    on (N, nv, nv) pays a ~25x tile-padding tax on TPU."""
     M = crba(model, q)
     b = bias_force(model, q, v, f_ext)
-    chol = jsl.cho_factor(M, lower=True)
-    return jsl.cho_solve(chol, tau - b)
+    return smallmat.solve_psd(M, tau - b)
 
 
 # ---------------------------------------------------------------------------
@@ -272,18 +290,18 @@ def contact_fwd_dynamics(model: RobotModel, q, v, tau, J_rows, a0_rows,
     """
     M = crba(model, q)
     b = bias_force(model, q, v)
-    chol = jsl.cho_factor(M, lower=True)
-    free_acc = jsl.cho_solve(chol, tau - b)          # unconstrained a
+    chol = smallmat.CholFactor(M)
+    free_acc = chol.solve(tau - b)                   # unconstrained a
 
     Jm = active[:, None] * J_rows
-    MinvJt = jsl.cho_solve(chol, Jm.T)               # (nv, nc)
+    MinvJt = chol.solve_mat(Jm.T)                    # (nv, nc)
     G = Jm @ MinvJt
     nc = J_rows.shape[0]
     I = jnp.eye(nc, dtype=q.dtype)
     # inactive rows/cols are zero in G; a unit diagonal there yields lam = 0
     G = G + jnp.diag(1.0 - active) + damping * I
     rhs = Jm @ free_acc + active * a0_rows
-    lam = -jnp.linalg.solve(G, rhs)
+    lam = -smallmat.solve_psd(G, rhs)
     a = free_acc + MinvJt @ lam
     return a, lam
 

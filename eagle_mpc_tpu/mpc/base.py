@@ -165,7 +165,8 @@ class MpcAbstract:
         if x0 is None:
             x0 = np.zeros(model.nx)
             x0[6] = 1.0
-        cvt = lambda a: jnp.asarray(a, dtype=dtype)
+        # host leaves (closure-safe; see ocp.problem.as_device)
+        cvt = lambda a: np.asarray(a, dtype=dtype)
         self.params0 = P.ProblemParams(
             x0=cvt(x0),
             node=P.NodeParams(weight=cvt(weight), active=cvt(active),
@@ -196,21 +197,25 @@ def make_reference_sampler(state, state_ref: np.ndarray, t_ref: np.ndarray,
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    state_ref = jnp.asarray(state_ref, dtype=dtype)
-    t_ref = jnp.asarray(t_ref, dtype=dtype)
-    N = state_ref.shape[0]
+    # host (numpy) closures: baked into the jitted program as literals —
+    # never capture eager device arrays (see ocp.problem.as_device)
+    state_ref_h = np.asarray(state_ref, dtype=dtype)
+    t_ref_h = np.asarray(t_ref, dtype=dtype)
+    N = state_ref_h.shape[0]
     nq = state.nq
 
-    q_hold = np.asarray(state_ref[-1, :nq])
+    q_hold = state_ref_h[-1, :nq].copy()
     if hold_yaw_only:
         # quaternion (x,y,z,w): keep the (z, w) components -> yaw-only
         quat = np.array([0.0, 0.0, q_hold[5], q_hold[6]])
         quat = quat / np.linalg.norm(quat)
-        q_hold = q_hold.copy()
         q_hold[3:7] = quat
-    x_hold = jnp.asarray(np.concatenate([q_hold, np.zeros(state.nv)]), dtype=dtype)
+    x_hold_h = np.concatenate([q_hold, np.zeros(state.nv)]).astype(dtype)
 
     def sample(t_ms):
+        state_ref = jnp.asarray(state_ref_h)
+        t_ref = jnp.asarray(t_ref_h)
+        x_hold = jnp.asarray(x_hold_h)
         t_ms = jnp.asarray(t_ms, dtype=dtype)
         idx = jnp.searchsorted(t_ref, t_ms, side="right")
         hold = idx >= N

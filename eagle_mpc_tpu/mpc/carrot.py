@@ -96,9 +96,9 @@ class CarrotMpc(base.MpcAbstract):
         n_ref = self.state_ref.shape[0]
         self._t_ref = np.arange(n_ref, dtype=np.int64) * self.dt_ref
         self._sample = base.make_reference_sampler(state, self.state_ref, self._t_ref)
-        self._t_stages = jnp.asarray(
-            base.stage_boundaries(self.trajectory.stages, self.dt))
-        self._transition = jnp.asarray(
+        # host tables (closure-safe: baked as literals at trace time)
+        self._t_stages = base.stage_boundaries(self.trajectory.stages, self.dt)
+        self._transition = np.asarray(
             [bool(s.transition) for s in self.trajectory.stages])
         self._n_stages = len(self.trajectory.stages)
 
@@ -106,16 +106,18 @@ class CarrotMpc(base.MpcAbstract):
     def update_problem(self, t_ms, params: P.ProblemParams) -> P.ProblemParams:
         """Pure updateProblem (carrot-mpc.cpp:298-359): toggles carrot /
         tail activity and re-aims their state references, all nodes at once."""
+        params = P.as_device(params)
         T = self.spec.T
         dtype = params.x0.dtype
         node_time = jnp.asarray(t_ms, dtype) + jnp.arange(T + 1, dtype=dtype) * self.dt
 
         # active stage per node: upper_bound(t_stages, t) - 1
-        idx_stage = jnp.searchsorted(self._t_stages.astype(dtype), node_time,
-                                     side="right") - 1
+        idx_stage = jnp.searchsorted(
+            jnp.asarray(self._t_stages.astype(dtype)), node_time,
+            side="right") - 1
         beyond = idx_stage >= self._n_stages
         stage_c = jnp.clip(idx_stage, 0, self._n_stages - 1)
-        is_transition = self._transition[stage_c]
+        is_transition = jnp.asarray(self._transition)[stage_c]
         is_last = jnp.arange(T + 1) == T
 
         carrot_active = (~beyond) & ((~is_transition) | is_last)

@@ -46,8 +46,9 @@ class TaskActivatedCarrotMpc(base.MpcAbstract):
         # stages are NOT transition-merged (mpc_controllers.py walks
         # trajectory.stages directly, using t_ini boundaries)
         self._stages = self.trajectory.stages
-        self._t_stages = jnp.asarray([s.t_ini for s in self._stages])
-        self._transition = jnp.asarray(
+        # host tables (closure-safe: baked as literals at trace time)
+        self._t_stages = np.asarray([s.t_ini for s in self._stages])
+        self._transition = np.asarray(
             [bool(s.transition) for s in self._stages])
         self._n_stages = len(self._stages)
 
@@ -72,7 +73,7 @@ class TaskActivatedCarrotMpc(base.MpcAbstract):
             slots, slot_weights=weights,
             slot_active=[0.0] * len(slots),
             slot_refs=refs, act_w=act_w, lbs=lbs, ubs=ubs)
-        self._slot_stage = jnp.asarray(slot_stage)
+        self._slot_stage = np.asarray(slot_stage)
         self._n_mission_slots = len(slot_stage)
 
         n_ref = self.state_ref.shape[0]
@@ -85,12 +86,12 @@ class TaskActivatedCarrotMpc(base.MpcAbstract):
         (mpc_controllers.py getActiveStage: a node may advance at most one
         stage past its predecessor when it would land two ahead)."""
         T = self.spec.T
+        t_stages = jnp.asarray(self._t_stages.astype(dtype))
         node_time = jnp.asarray(t_ms, dtype) + \
             jnp.arange(T + 1, dtype=dtype) * self.dt
-        raw = jnp.searchsorted(self._t_stages.astype(dtype), node_time,
-                               side="right") - 1
-        last0 = jnp.searchsorted(self._t_stages.astype(dtype),
-                                 jnp.asarray(t_ms, dtype), side="right") - 1
+        raw = jnp.searchsorted(t_stages, node_time, side="right") - 1
+        last0 = jnp.searchsorted(t_stages, jnp.asarray(t_ms, dtype),
+                                 side="right") - 1
 
         def step(last, r):
             idx = jnp.where(r == last + 2, r - 1, r)
@@ -100,16 +101,18 @@ class TaskActivatedCarrotMpc(base.MpcAbstract):
         return node_time, jnp.clip(idx, 0, self._n_stages - 1)
 
     def update_problem(self, t_ms, params: P.ProblemParams) -> P.ProblemParams:
+        params = P.as_device(params)
         dtype = params.x0.dtype
         node_time, idx_stage = self._active_stages(t_ms, dtype)
         K = self._n_mission_slots
 
-        active_mission = (self._slot_stage[None, :] == idx_stage[:, None])
+        active_mission = (jnp.asarray(self._slot_stage)[None, :]
+                          == idx_stage[:, None])
 
         # terminal carrot: last node in a transition stage
         T = self.spec.T
         is_last = jnp.arange(T + 1) == T
-        carrot_on = is_last & self._transition[idx_stage]
+        carrot_on = is_last & jnp.asarray(self._transition)[idx_stage]
         ref_last = self._sample(node_time[-1]).astype(dtype)
 
         active = params.node.active.at[:, :K].set(active_mission.astype(dtype))

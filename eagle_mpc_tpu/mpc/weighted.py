@@ -108,7 +108,8 @@ class WeightedMpc(base.MpcAbstract):
         self.control_reg = base._try_param(server, g, pre + "weighted_control_reg", 1e-1)
 
         self._stages = merge_transition_stages(self.trajectory.stages)
-        self._t_stages = jnp.asarray([s.t_ini for s in self._stages])
+        # host tables (closure-safe: baked as literals at trace time)
+        self._t_stages = np.asarray([s.t_ini for s in self._stages])
         self._n_stages = len(self._stages)
         self._duration = self.trajectory.duration
 
@@ -126,11 +127,11 @@ class WeightedMpc(base.MpcAbstract):
             slot_refs=refs,
             act_w=act_w, lbs=lbs, ubs=ubs,
         )
-        self._slot_stage = jnp.asarray(slot_stage)
-        self._slot_exempt = jnp.asarray(slot_exempt)
-        self._slot_stage_weight = jnp.asarray(slot_stage_weight)
-        self._stage_end = jnp.asarray(
-            [s.t_ini + s.duration for s in self._stages], dtype=jnp.float64)
+        self._slot_stage = np.asarray(slot_stage)
+        self._slot_exempt = np.asarray(slot_exempt)
+        self._slot_stage_weight = np.asarray(slot_stage_weight)
+        self._stage_end = np.asarray(
+            [s.t_ini + s.duration for s in self._stages], dtype=np.float64)
         self._n_mission_slots = len(slots)
 
     # ------------------------------------------------------------------
@@ -138,11 +139,11 @@ class WeightedMpc(base.MpcAbstract):
         """Per-node active stage with the sequential jump clamp
         (weighted-mpc.cpp:172-204)."""
         T = self.spec.T
+        t_stages = jnp.asarray(self._t_stages.astype(dtype))
         node_time = jnp.asarray(t_ms, dtype) + jnp.arange(T + 1, dtype=dtype) * self.dt
-        raw = jnp.searchsorted(self._t_stages.astype(dtype), node_time,
-                               side="right") - 1
-        last0 = jnp.searchsorted(self._t_stages.astype(dtype),
-                                 jnp.asarray(t_ms, dtype), side="right") - 1
+        raw = jnp.searchsorted(t_stages, node_time, side="right") - 1
+        last0 = jnp.searchsorted(t_stages, jnp.asarray(t_ms, dtype),
+                                 side="right") - 1
 
         def step(last, r):
             idx = jnp.where(r == last + 2, r - 1, r)
@@ -152,22 +153,24 @@ class WeightedMpc(base.MpcAbstract):
         return node_time, jnp.clip(idx, 0, self._n_stages - 1)
 
     def update_problem(self, t_ms, params: P.ProblemParams) -> P.ProblemParams:
+        params = P.as_device(params)
         dtype = params.x0.dtype
         node_time, idx_stage = self._active_stages(t_ms, dtype)
 
         K = self._n_mission_slots
         # activity: slot's stage == node's stage (barrier slot untouched)
-        active_mission = (self._slot_stage[None, :] == idx_stage[:, None])
+        active_mission = (jnp.asarray(self._slot_stage)[None, :]
+                          == idx_stage[:, None])
 
         # weight modulation (computeWeight): saturate past trajectory end
-        stage_end = self._stage_end.astype(dtype)[idx_stage]          # (T+1,)
+        stage_end = jnp.asarray(self._stage_end.astype(dtype))[idx_stage]  # (T+1,)
+        slot_w = jnp.asarray(self._slot_stage_weight.astype(dtype))
         wt = jnp.where(node_time > self._duration, 0.0,
                        (node_time - stage_end) / 1000.0)
         mod = jnp.exp(self.alpha * wt) * self.beta                     # (T+1,)
-        w_mission = jnp.where(
-            self._slot_exempt[None, :],
-            self._slot_stage_weight[None, :].astype(dtype),
-            self._slot_stage_weight[None, :].astype(dtype) * mod[:, None])
+        w_mission = jnp.where(jnp.asarray(self._slot_exempt)[None, :],
+                              slot_w[None, :],
+                              slot_w[None, :] * mod[:, None])
 
         active = params.node.active.at[:, :K].set(active_mission.astype(dtype))
         weight = params.node.weight.at[:, :K].set(w_mission)

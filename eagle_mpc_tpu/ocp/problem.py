@@ -105,6 +105,20 @@ class NodeView(NamedTuple):
     contact_refs: Tuple[jnp.ndarray, ...] = ()
 
 
+def as_device(tree):
+    """Convert every array leaf of a parameter pytree to a jnp array.
+
+    Parameter pytrees are built with HOST (numpy) leaves so that closing
+    over them in a jitted function embeds them as baked HLO literals — eager
+    device arrays captured as jaxpr constants force a slow per-call dispatch
+    path on tunneled TPU runtimes (and bloat dispatch everywhere else).
+    Call this (or rely on the solvers/controllers, which call it on entry)
+    when device-resident leaves are needed, e.g. for ``.at[]`` updates."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if isinstance(a, (np.ndarray, np.generic)) else a,
+        tree)
+
+
 def node_view(node: NodeParams, t) -> NodeView:
     ca = None if node.contact_active is None else node.contact_active[t]
     return NodeView(node.weight[t], node.active[t],
@@ -673,7 +687,9 @@ def from_trajectory(traj: cspecs.TrajectorySpec, dt_ms: Optional[int] = None,
         lbs.append(np.asarray(lb, dtype=np.float64))
         ubs.append(np.asarray(ub, dtype=np.float64))
 
-    cvt = lambda a: jnp.asarray(a, dtype=dtype)
+    # host (numpy) leaves: safe to close over in jit (baked literals) and
+    # converted on device on solver entry — see as_device()
+    cvt = lambda a: np.asarray(a, dtype=dtype)
     params = ProblemParams(
         x0=cvt(traj.initial_state),
         node=NodeParams(

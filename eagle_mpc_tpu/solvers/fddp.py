@@ -32,9 +32,9 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from ..ocp import problem as P
+from ..ops import smallmat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +86,51 @@ class IterTrace(NamedTuple):
     xreg: jnp.ndarray        # (maxiter,) state regularization after schedule
     gap_norm: jnp.ndarray    # (maxiter,) max |gap| of the candidate
     accepted: jnp.ndarray    # (maxiter,) int8: 1 accepted, 0 rejected, -1 unused
+    phase: jnp.ndarray       # (maxiter,) int8: homotopy stage id; -2 = DDP polish
+
+
+def _empty_trace(n: int, dtype) -> IterTrace:
+    nan = jnp.full((n,), jnp.nan, dtype=dtype)
+    return IterTrace(cost=nan, stop=nan, steplength=nan, xreg=nan,
+                     gap_norm=nan,
+                     accepted=jnp.full((n,), -1, jnp.int8),
+                     phase=jnp.full((n,), -1, jnp.int8))
+
+
+def concat_traces(traces) -> IterTrace:
+    """Concatenate per-stage traces (SbFDDP homotopy stages + DDP polish)."""
+    return IterTrace(*(jnp.concatenate(parts, axis=-1)
+                       for parts in zip(*traces)))
+
+
+def format_trace(trace: IterTrace, header: bool = True) -> str:
+    """CallbackVerbose-style table of a recorded solve (host-side).
+
+    Skips unused rows (accepted == -1). For a batched solve, index the batch
+    element first (``jax.tree_util.tree_map(lambda a: a[i], trace)``)."""
+    import numpy as np_
+
+    cost = np_.asarray(trace.cost)
+    stop = np_.asarray(trace.stop)
+    step = np_.asarray(trace.steplength)
+    xreg = np_.asarray(trace.xreg)
+    gap = np_.asarray(trace.gap_norm)
+    acc = np_.asarray(trace.accepted)
+    phase = np_.asarray(trace.phase)
+    lines = []
+    if header:
+        lines.append(f"{'iter':>4} {'phase':>6} {'cost':>14} {'stop':>12} "
+                     f"{'step':>8} {'xreg':>10} {'gap_norm':>10} {'acc':>4}")
+    it = 0
+    for i in range(cost.shape[0]):
+        if acc[i] == -1:
+            continue
+        it += 1
+        ph = "ddp" if phase[i] == -2 else str(int(phase[i]))
+        lines.append(f"{it:>4} {ph:>6} {cost[i]:>14.6e} {stop[i]:>12.4e} "
+                     f"{step[i]:>8.4f} {xreg[i]:>10.2e} {gap[i]:>10.3e} "
+                     f"{int(acc[i]):>4}")
+    return "\n".join(lines)
 
 
 class SolveResult(NamedTuple):
@@ -113,6 +158,7 @@ class _IterState(NamedTuple):
     gap_norm: jnp.ndarray
     done: jnp.ndarray
     failed: jnp.ndarray
+    trace: IterTrace         # 0-length arrays unless settings.record_trace
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +201,7 @@ def _boxqp(H, q, lo, hi, x0, n_iters):
         g = q + H @ x
         fmask = (~clamped_set(x, g)).astype(dtype)
         M = H * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
-        dx = jnp.linalg.solve(M, -g * fmask)
+        dx = smallmat.solve_psd(M, -g * fmask)
         cands = jnp.clip(x[None, :] + ladder[:, None] * dx[None, :], lo, hi)
         cands = jnp.concatenate([cands, x[None, :]], axis=0)
         fs = 0.5 * jnp.einsum("ai,ij,aj->a", cands, H, cands) + cands @ q
@@ -196,9 +242,9 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
         Qxu = d.Lxu + FxTV @ d.Fu
         Quu = d.Luu + FuTV @ d.Fu + ureg * I_nu
         if box is None:
-            chol = jnp.linalg.cholesky(Quu)            # NaN on non-PD
-            k = jsl.cho_solve((chol, True), Qu)
-            K = jsl.cho_solve((chol, True), Qxu.T)     # (nu, ndx)
+            chol = smallmat.CholFactor(Quu)            # NaN on non-PD
+            k = chol.solve(Qu)
+            K = chol.solve_mat(Qxu.T)                  # (nu, ndx)
         else:
             _, lb_u, ub_u, qp_iters = box
             du, free = _boxqp(Quu, Qu, lb_u - u_t, ub_u - u_t,
@@ -206,7 +252,7 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
             k = -du
             fmask = free.astype(dtype)
             M = Quu * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
-            K = jnp.linalg.solve(M, fmask[:, None] * Qxu.T)
+            K = smallmat.solve_psd_mat(M, fmask[:, None] * Qxu.T)
         Quuk = Quu @ k
         Vx_n = Qx + K.T @ Quuk - 2.0 * (K.T @ Qu)
         Vxx_n = Qxx - Qxu @ K
@@ -328,13 +374,26 @@ def _expected_improvement(spec, bp, fs, xs, xs_try, dg, dq, feasible):
 
 def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
                       maxiter, th_stop, reg_init, feasible_init, *, ddp: bool,
-                      box: bool = False):
+                      box: bool = False, trace_len: Optional[int] = None,
+                      phase_id: int = 0):
     """Shared outer loop for FDDP (gap-aware) and the DDP polish variant.
 
     All loop-carried quantities are arrays; vmap over ``params`` batches the
-    whole solver."""
+    whole solver. With ``settings.record_trace`` a fixed-length
+    :class:`IterTrace` is carried through the loop and returned in
+    ``SolveResult.trace`` — the reference drives CallbackVerbose from its
+    iteration loop at /root/reference/src/sbfddp.cpp:303-307. ``trace_len``
+    must then be static (defaults to ``int(maxiter)``); ``phase_id`` labels
+    the rows (homotopy stage, or -2 for the DDP polish)."""
+    params = P.as_device(params)
     dtype = xs_init.dtype
     alphas = jnp.asarray(settings.alphas, dtype=dtype)
+    record = settings.record_trace
+    if record and trace_len is None:
+        if not isinstance(maxiter, int):
+            raise ValueError("record_trace needs a static trace length: pass "
+                             "a Python-int maxiter or an explicit trace_len")
+        trace_len = int(maxiter)
 
     init = _IterState(
         xs=xs_init, us=us_init,
@@ -347,6 +406,7 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         gap_norm=jnp.asarray(jnp.inf, dtype=dtype),
         done=jnp.zeros((), bool),
         failed=jnp.zeros((), bool),
+        trace=_empty_trace(trace_len if record else 0, dtype),
     )
 
     def cond(s: _IterState):
@@ -427,10 +487,23 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         else:
             done = any_accept & small_red & (gap_norm < settings.th_stop_gaps)
 
+        trace = s.trace
+        if record:
+            i = s.it
+            trace = IterTrace(
+                cost=trace.cost.at[i].set(cost_new),
+                stop=trace.stop.at[i].set(stop_val),
+                steplength=trace.steplength.at[i].set(steplength),
+                xreg=trace.xreg.at[i].set(xreg),
+                gap_norm=trace.gap_norm.at[i].set(gap_norm),
+                accepted=trace.accepted.at[i].set(any_accept.astype(jnp.int8)),
+                phase=trace.phase.at[i].set(jnp.int8(phase_id)),
+            )
+
         return _IterState(
             xs=xs_new, us=us_new, cost=cost_new, feasible=feas_new,
             xreg=xreg, ureg=ureg, it=s.it + 1, stop_val=stop_val,
-            gap_norm=gap_norm, done=done, failed=failed)
+            gap_norm=gap_norm, done=done, failed=failed, trace=trace)
 
     out = jax.lax.while_loop(cond, body, init)
 
@@ -444,19 +517,22 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
     return SolveResult(
         xs=out.xs, us=out.us, cost=cost_final, iters=out.it,
         feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,
-        xreg=out.xreg, failed=out.failed)
+        xreg=out.xreg, failed=out.failed,
+        trace=out.trace if record else None)
 
 
 def solve_fddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,
-               reg_init=1e-9, feasible=False):
+               reg_init=1e-9, feasible=False, trace_len=None, phase_id=0):
     return solve_fddp_or_ddp(spec, settings, params, xs_init, us_init,
-                             maxiter, th_stop, reg_init, feasible, ddp=False)
+                             maxiter, th_stop, reg_init, feasible, ddp=False,
+                             trace_len=trace_len, phase_id=phase_id)
 
 
 def solve_ddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,
-              reg_init=1e-9, feasible=False):
+              reg_init=1e-9, feasible=False, trace_len=None, phase_id=0):
     return solve_fddp_or_ddp(spec, settings, params, xs_init, us_init,
-                             maxiter, th_stop, reg_init, feasible, ddp=True)
+                             maxiter, th_stop, reg_init, feasible, ddp=True,
+                             trace_len=trace_len, phase_id=phase_id)
 
 
 def solve_box_fddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,

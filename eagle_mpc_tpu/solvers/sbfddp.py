@@ -64,6 +64,8 @@ class SbFddpResult(NamedTuple):
     feasible: jnp.ndarray
     failed: jnp.ndarray
     smooth: jnp.ndarray       # squash smoothness the candidate is consistent under
+    trace: Optional[fddp.IterTrace] = None  # when settings.solver.record_trace:
+                                            # homotopy stages + DDP polish concat
 
 
 def barrier_slot_index(spec: P.ProblemSpec) -> int:
@@ -93,6 +95,7 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     and vmap over ``params``/initial candidates for scenario batches.
     """
     settings = settings or SbFddpSettings()
+    params = P.as_device(params)
     if xs_init is None or us_init is None:
         xs0, us0 = fddp.default_init(spec, params)
         xs_init = xs_init if xs_init is not None else xs0
@@ -102,21 +105,28 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     feas = jnp.asarray(feasible)
     total_iters = jnp.zeros((), jnp.int32)
     failed = jnp.zeros((), bool)
+    record = settings.solver.record_trace
+    traces = []
+    maxiter_static = int(maxiter) if record else None
 
     smooth = settings.smooth_init
     convergence = settings.convergence_init
     maxiter_arr = jnp.asarray(maxiter, jnp.int32)
 
-    for _ in range(settings.n_stages):
+    for stage in range(settings.n_stages):
         params = _set_homotopy(spec, params, smooth)
         res = fddp.solve_fddp(spec, settings.solver, params, xs, us,
                               maxiter_arr, jnp.asarray(convergence, dtype=xs.dtype),
-                              reg_init=settings.reg_init, feasible=False)
+                              reg_init=settings.reg_init, feasible=False,
+                              trace_len=maxiter_static, phase_id=stage)
         xs, us, feas = res.xs, res.us, res.feasible
         total_iters = total_iters + res.iters
         failed = failed | res.failed
+        if record:
+            traces.append(res.trace)
         smooth *= settings.smooth_mult
         convergence *= settings.convergence_mult
+    cost_fddp = res.cost
 
     final_smooth = settings.smooth_init * settings.smooth_mult ** (settings.n_stages - 1)
     params = _set_homotopy(spec, params, final_smooth)
@@ -127,17 +137,24 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     ddp_res = fddp.solve_ddp(spec, settings.solver, params, xs, us,
                              jnp.where(feas, 0, maxiter_arr),
                              jnp.asarray(settings.convergence_stop, dtype=xs.dtype),
-                             reg_init=settings.reg_init, feasible=feas)
+                             reg_init=settings.reg_init, feasible=feas,
+                             trace_len=maxiter_static, phase_id=-2)
+    if record:
+        traces.append(ddp_res.trace)
     xs = jnp.where(feas, xs, ddp_res.xs)
     us = jnp.where(feas, us, ddp_res.us)
-    cost = jnp.where(feas, _total_cost(spec, params, xs, us), ddp_res.cost)
+    # ``final_smooth`` equals the LAST homotopy stage's smoothness, so the
+    # feasible branch's cost is exactly that stage's converged cost — no
+    # re-evaluation needed (ddp_res.cost covers the polish branch)
+    cost = jnp.where(feas, cost_fddp, ddp_res.cost)
     total_iters = total_iters + jnp.where(feas, 0, ddp_res.iters)
     feas_out = feas | ddp_res.feasible
 
     us_squash = P.squashed_controls(spec, params, us)
     return SbFddpResult(xs=xs, us=us, us_squash=us_squash, cost=cost,
                         iters=total_iters, feasible=feas_out, failed=failed,
-                        smooth=jnp.asarray(final_smooth, dtype=xs.dtype))
+                        smooth=jnp.asarray(final_smooth, dtype=xs.dtype),
+                        trace=fddp.concat_traces(traces) if record else None)
 
 
 def _total_cost(spec, params, xs, us):

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--plot", default=None, help="directory for output figures")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print per-iteration solver telemetry "
+                         "(CallbackVerbose equivalent)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +42,7 @@ def main():
 
     from eagle_mpc_tpu.config import specs
     from eagle_mpc_tpu.ocp import problem as P
-    from eagle_mpc_tpu.solvers import sbfddp
+    from eagle_mpc_tpu.solvers import fddp, sbfddp
     from eagle_mpc_tpu.utils import log
 
     missions = os.path.join(os.path.dirname(__file__), "..", "missions")
@@ -52,7 +55,10 @@ def main():
     log.info(f"{args.robot}/{args.mission}: T={spec.T} nodes, dt={args.dt} ms, "
              f"nx={traj.model.nx}, nu={traj.nu}, contacts={len(spec.contacts)}")
 
-    solve = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=args.maxiter))
+    settings = sbfddp.SbFddpSettings(
+        solver=fddp.SolverSettings(record_trace=args.verbose))
+    solve = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=args.maxiter,
+                                           settings=settings))
     t0 = time.time()
     res = solve(params)
     jax.block_until_ready(res)
@@ -63,6 +69,8 @@ def main():
     log.info(f"steady solve: {(time.time() - t0) * 1e3:.1f} ms | "
              f"iters={int(res.iters)} cost={float(res.cost):.4f} "
              f"feasible={bool(res.feasible)}")
+    if args.verbose:
+        print(fddp.format_trace(res.trace))
 
     if args.plot:
         from eagle_mpc_tpu.viz import plots

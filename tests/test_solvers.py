@@ -85,6 +85,66 @@ class TestSbFddpFlagship:
         assert np.all(u <= np.asarray(params.glob.s_ub) + 1e-9)
 
 
+class TestIterTrace:
+    """Per-iteration telemetry — the CallbackVerbose parity layer (the
+    reference drives callbacks from its solver loop at
+    /root/reference/src/sbfddp.cpp:303-307)."""
+
+    @pytest.fixture(scope="class")
+    def traced_solve(self, iris_hover):
+        _, spec, params, _ = iris_hover
+        st = sbfddp.SbFddpSettings(
+            solver=fddp.SolverSettings(record_trace=True))
+        res = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=40,
+                                             settings=st))(params)
+        return spec, res
+
+    def test_trace_populated(self, traced_solve):
+        _, res = traced_solve
+        assert res.trace is not None
+        used = np.asarray(res.trace.accepted) != -1
+        assert used.sum() == int(res.iters)
+
+    def test_accepted_costs_monotone_within_stage(self, traced_solve):
+        """FDDP accepted steps decrease cost monotonically inside one
+        homotopy stage (the barrier weights change between stages, so only
+        within-stage monotonicity is guaranteed)."""
+        _, res = traced_solve
+        tr = res.trace
+        acc = np.asarray(tr.accepted)
+        phase = np.asarray(tr.phase)
+        cost = np.asarray(tr.cost)
+        for ph in np.unique(phase[acc == 1]):
+            c = cost[(acc == 1) & (phase == ph)]
+            assert np.all(np.diff(c) <= 1e-9), (ph, c)
+
+    def test_final_trace_cost_matches_result(self, traced_solve):
+        _, res = traced_solve
+        tr = res.trace
+        used = np.asarray(tr.accepted) != -1
+        last_cost = np.asarray(tr.cost)[used][-1]
+        np.testing.assert_allclose(last_cost, float(res.cost), rtol=1e-10)
+
+    def test_format_trace_renders(self, traced_solve):
+        _, res = traced_solve
+        s = fddp.format_trace(res.trace)
+        lines = s.splitlines()
+        assert "cost" in lines[0] and "gap_norm" in lines[0]
+        assert len(lines) == 1 + int(res.iters)
+
+    def test_steplengths_are_alphas(self, traced_solve):
+        _, res = traced_solve
+        tr = res.trace
+        used = np.asarray(tr.accepted) != -1
+        steps = np.asarray(tr.steplength)[used]
+        alphas = np.asarray(fddp.SolverSettings().alphas)
+        assert np.all(np.isin(steps, alphas))
+
+    def test_trace_disabled_returns_none(self, iris_hover):
+        _, _, _, res = iris_hover
+        assert res.trace is None
+
+
 class TestBatchedSolve:
     def test_vmap_over_perturbed_x0(self, iris_hover):
         """The TPU throughput axis: a batch of scenarios with perturbed
