@@ -4,14 +4,24 @@ Headline metric (BASELINE.json): SbFDDP carrot-MPC re-solves per second per
 chip on hexacopter370_flying_arm_3 (horizon 30 knots x 30 ms, Euler, 2
 solver iterations per tick — the reference's real-time budget,
 /root/reference/yaml/hexacopter370_flying_arm_3/mpc/mpc.yaml). One "solve"
-is a full MPC tick: parameter update (stage lookup + reference re-aiming)
-plus the warm-started 2-iteration SbFDDP solve. Scenarios are batched
-(vmap) and the batch is what saturates the chip.
+is a full closed-loop MPC tick: parameter update at the advancing mission
+time, the warm-started 2-iteration SbFDDP solve, and an RK4 plant step that
+produces the next tick's state (the reference demo loop,
+examples/python/mpc.py:49-61). Scenarios are batched (vmap); B parallel
+closed loops run K chained ticks.
+
+Measurement integrity (tunneled TPU runtimes):
+- The K ticks run INSIDE one compiled program (lax.scan) and the timing is
+  closed by a host fetch of the per-tick cost vector — `block_until_ready`
+  alone does not reliably wait on tunneled backends, and per-call dispatch
+  overhead must not pollute a throughput metric.
+- Nothing closes over eager device arrays (slow dispatch path); parameters
+  are numpy trace literals or explicit arguments.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is against the 1000 solves/s/chip north-star target.
 
-Usage: python bench.py [--batch B] [--reps R] [--dtype f32|f64]
+Usage: python bench.py [--batch B] [--ticks K] [--reps R] [--dtype f32|f64]
 """
 
 import argparse
@@ -26,18 +36,17 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--ticks", type=int, default=10, help="chained MPC ticks per rep")
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
-    ap.add_argument("--unroll", type=int, default=1, help="T-axis scan unroll")
-    ap.add_argument("--alphas", type=int, default=10, help="line-search steps")
     args = ap.parse_args()
 
     import jax
 
     # persistent compile cache: the tick program is large (while_loop solver
-    # over T=30), and the host here is small — never pay XLA twice.
-    # User-scoped default path so a shared host can't collide on /tmp perms.
+    # over T=30) — never pay XLA twice. User-scoped default path so a shared
+    # host can't collide on /tmp permissions.
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR",
                                      os.path.expanduser("~/.cache/jax")))
@@ -50,10 +59,13 @@ def main():
 
     from eagle_mpc_tpu.config import specs
     from eagle_mpc_tpu.mpc import CarrotMpc
+    from eagle_mpc_tpu.sim import AerialSimulator
+    from eagle_mpc_tpu.solvers import fddp, sbfddp
 
     root = os.path.dirname(os.path.abspath(__file__))
     missions = os.path.join(root, "missions")
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    np_dtype = np.float64 if args.dtype == "f64" else np.float32
     dt_ref = 30
 
     traj = specs.load_trajectory(
@@ -71,61 +83,88 @@ def main():
     ref[:, 1] = np.linspace(0.0, 0.5, n_ref)
 
     ctrl = CarrotMpc(mpc_params=mp, trajectory=traj, state_ref=ref, dt_ref=dt_ref)
-    # rebuild params at the bench dtype
     params0 = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, ctrl.params0)
+        lambda x: np.asarray(x, np_dtype) if hasattr(x, "astype") else x,
+        ctrl.params0)
+    sim = AerialSimulator.from_platform(mp.model, mp.platform, dt_ms=2)
 
     T, nu, nx = ctrl.spec.T, ctrl.spec.nu, mp.model.nx
     m = float(mp.model.inertia[0][0, 0])
     hover = m * 9.81 / mp.platform.n_rotors
 
-    B = args.batch
+    B, K = args.batch, args.ticks
     rng = np.random.default_rng(0)
-    noise = rng.normal(size=(B, nx)) * 0.05
+    noise = rng.normal(size=(B, nx)).astype(np_dtype) * 0.05
     noise[:, 3:7] = 0.0
-    x0b = jnp.asarray(np.asarray(traj.initial_state)[None] + noise, dtype=dtype)
-    xs_w = jnp.tile(x0b[:, None, :], (1, T + 1, 1))
-    us_w = jnp.zeros((B, T, nu), dtype=dtype)
-    us_w = us_w.at[:, :, : mp.platform.n_rotors].set(hover)
-    t_ms = jnp.zeros((B,), dtype=dtype)
+    x0b = jnp.asarray(np.asarray(traj.initial_state, np_dtype)[None] + noise)
+    xs0 = jnp.tile(x0b[:, None, :], (1, T + 1, 1))
+    us0 = jnp.zeros((B, T, nu), dtype=dtype)
+    us0 = us0.at[:, :, : mp.platform.n_rotors].set(hover)
 
-    from eagle_mpc_tpu.solvers import fddp, sbfddp
+    settings = sbfddp.SbFddpSettings(convergence_init=1e-3,
+                                     solver=fddp.SolverSettings())
+    dt_sim = 2.0  # ms between re-solves (reference demo cadence, mpc.py:43)
 
-    settings = sbfddp.SbFddpSettings(
-        convergence_init=1e-3,
-        solver=fddp.SolverSettings(scan_unroll=args.unroll,
-                                   n_alphas=args.alphas))
+    # Warm-start solve to convergence before entering the timed loop — the
+    # reference demo does exactly this (examples/python/mpc.py:39-41: full
+    # solve at t=0, then convergence_init=1e-3 for the 2-iteration ticks).
+    # Without it, hard scenarios enter the loop unconverged and the
+    # 2-iteration budget can never catch up.
+    @jax.jit
+    def warm_solve(params, xb, xs, us):
+        def one(x0, xs, us):
+            p = ctrl.update_problem(jnp.asarray(0.0, dtype), params._replace(x0=x0))
+            r = ctrl.solve(p, xs, us, maxiter=30,
+                           settings=sbfddp.SbFddpSettings())
+            return r.xs, r.us
+        return jax.vmap(one)(xb, xs, us)
 
-    def tick(t, x0, xs, us):
-        params = ctrl.update_problem(t, params0._replace(x0=x0))
-        res = ctrl.solve(params, xs, us, settings=settings)
-        return res.xs, res.us, res.us_squash[0], res.cost
+    @jax.jit
+    def run_chunk(params, t0_ms, xb, xs, us):
+        """K chained closed-loop MPC ticks for B scenarios."""
 
-    step = jax.jit(jax.vmap(tick))
+        def tick(carry, k):
+            t_ms, xb, xs, us = carry
 
-    # warm-up / compile
+            def one(t, x0, xs, us):
+                p = ctrl.update_problem(t, params._replace(x0=x0))
+                r = ctrl.solve(p, xs, us, settings=settings)
+                x_next = sim.step(x0, r.us_squash[0])
+                return x_next, r.xs, r.us, r.cost
+
+            xb, xs, us, cost = jax.vmap(one)(
+                jnp.full((xb.shape[0],), t_ms, dtype), xb, xs, us)
+            return (t_ms + dt_sim, xb, xs, us), cost.mean()
+
+        (t_ms, xb, xs, us), costs = jax.lax.scan(
+            tick, (t0_ms, xb, xs, us), jnp.arange(K))
+        return costs, t_ms, xb, xs, us
+
+    t0_ms = jnp.asarray(0.0, dtype)
     t0 = time.time()
-    out = step(t_ms, x0b, xs_w, us_w)
-    jax.block_until_ready(out)
+    xs0, us0 = warm_solve(params0, x0b, xs0, us0)
+    _ = np.asarray(us0[0, 0])
+    warm_s = time.time() - t0
+    t0 = time.time()
+    costs, t_ms, xb, xs, us = run_chunk(params0, t0_ms, x0b, xs0, us0)
+    _ = np.asarray(costs)  # host fetch = true completion barrier
     compile_s = time.time() - t0
 
-    # steady-state timing: feed each tick's candidate to the next (the real
-    # MPC warm-start pattern)
-    xs_w, us_w = out[0], out[1]
     times = []
-    for _ in range(args.reps):
+    for _r in range(args.reps):
         t0 = time.time()
-        out = step(t_ms, x0b, xs_w, us_w)
-        jax.block_until_ready(out)
+        costs, t_ms, xb, xs, us = run_chunk(params0, t_ms, xb, xs, us)
+        costs_h = np.asarray(costs)
         times.append(time.time() - t0)
     med = float(np.median(times))
-    solves_per_s = B / med
+    solves_per_s = B * K / med
 
     platform = jax.devices()[0].platform
-    print(f"# platform={platform} dtype={args.dtype} B={B} T={T} "
-          f"compile={compile_s:.1f}s median_tick={med*1e3:.2f}ms "
-          f"p50_latency_per_solve={med/B*1e6:.1f}us "
-          f"cost_finite={bool(np.all(np.isfinite(np.asarray(out[3]))))}",
+    print(f"# platform={platform} dtype={args.dtype} B={B} K={K} T={T} "
+          f"warmup={warm_s:.1f}s compile={compile_s:.1f}s chunk={med*1e3:.1f}ms "
+          f"tick={med/K*1e3:.2f}ms "
+          f"cost_finite={bool(np.all(np.isfinite(costs_h)))} "
+          f"final_mean_cost={float(costs_h[-1]):.2f}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "carrot_mpc_solves_per_s_per_chip_hexacopter370_flying_arm_3",

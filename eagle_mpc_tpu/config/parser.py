@@ -219,8 +219,40 @@ class ParamsServer:
     def get_vector(self, key: str) -> np.ndarray:
         v = self._get(key)
         if isinstance(v, str):
+            s = v.replace(" ", "")
+            if s.startswith("[["):   # dynamic-Eigen form -> flattened values
+                from . import converter as cvt
+                return cvt.convert_matrix(s).ravel()
             v = yaml.safe_load(v)
         return np.asarray(v, dtype=np.float64)
+
+    def get_matrix(self, key: str) -> np.ndarray:
+        """Eigen-matrix codec: the reference's ``[[rows,cols],v...]`` dynamic
+        form returns a 2-D array; the flat ``[v...]`` form a 1-D vector
+        (converter.hpp:208-239)."""
+        from . import converter as cvt
+
+        v = self._get(key)
+        if isinstance(v, str):
+            return cvt.convert_matrix(v.replace(" ", ""))
+        arr = np.asarray(v, dtype=np.float64)
+        return arr
+
+    def get_map(self, key: str, conv=float) -> dict:
+        """``[{id:value},...]`` map codec (converter.hpp:242-262)."""
+        from . import converter as cvt
+
+        v = self._get(key)
+        if isinstance(v, dict):
+            return {str(k): conv(val) for k, val in v.items()}
+        return cvt.convert_map(str(v), conv)
+
+    def get_pair(self, key: str, conv=float) -> tuple:
+        """``{identifier:value}`` pair codec (converter.hpp:175-188)."""
+        from . import converter as cvt
+
+        v = self._get(key)
+        return cvt.convert_pair(str(v), conv)
 
     def get_list(self, key: str) -> list:
         v = self._get(key)

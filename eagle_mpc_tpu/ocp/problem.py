@@ -19,11 +19,28 @@ scenario batches vmap across problems; meshes shard the batch axis.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def highest_matmul(f):
+    """Trace ``f`` under HIGHEST matmul precision.
+
+    On TPU, float32 ``dot`` defaults to bfloat16 passes (~2^-8 relative
+    error). The OCP/solver matrices are tiny (n <= 24) so the extra MXU
+    passes are free, while bf16 error exceeds the PD margin of the Riccati
+    Quu (observed: constant Cholesky failures -> 10+ regularization-retry
+    re-runs of the whole backward pass per direction on the v5e) and
+    corrupts gains/derivatives outright."""
+    @functools.wraps(f)
+    def g(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return f(*args, **kwargs)
+    return g
 
 from ..config import specs as cspecs
 from ..dynamics import rbd
@@ -337,6 +354,7 @@ def _stage_points(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     return pts, st.integrate(x, dx), u_sq
 
 
+@highest_matmul
 def node_calc(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     """One running node: (xnext, discrete cost, squashed control)."""
     pts, xnext, u_sq = _stage_points(spec, view, glob, x, s)
@@ -347,12 +365,14 @@ def node_calc(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     return xnext, cost, u_sq
 
 
+@highest_matmul
 def terminal_calc(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x):
     """Terminal node cost (unscaled by dt, crocoddyl terminal convention)."""
     s = jnp.zeros(spec.nu, dtype=x.dtype)
     return _point_cost(spec, view, glob, x, s, terminal=True)
 
 
+@highest_matmul
 def node_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     """Derivatives of one running node in the tangent space.
 
@@ -409,6 +429,7 @@ def node_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     )
 
 
+@highest_matmul
 def terminal_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x):
     st = spec.state
     ndx = st.ndx
@@ -445,6 +466,7 @@ def terminal_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x)
 # Horizon-level evaluation (vmapped across nodes)
 # ---------------------------------------------------------------------------
 
+@highest_matmul
 def calc_all(spec: ProblemSpec, params: ProblemParams, xs, us):
     """Cost and next-state of every running node (parallel across the
     horizon) + terminal cost. Returns (costs (T,), xnexts (T, nx), cost_T)."""
@@ -455,6 +477,7 @@ def calc_all(spec: ProblemSpec, params: ProblemParams, xs, us):
     return costs, xnexts, cost_T
 
 
+@highest_matmul
 def calc_diff_all(spec: ProblemSpec, params: ProblemParams, xs, us):
     """Derivatives of all running nodes (vmapped) + terminal derivatives."""
     views = running_views(params.node, spec.T)

@@ -7,10 +7,15 @@ no NCCL/MPI/threads anywhere); the TPU framework ADDS the parallel axes:
   different missions' parameters) solved concurrently — `vmap` inside one
   chip, sharded over the mesh's ``batch`` axis across chips/hosts.
 - reductions (convergence counts, cost sums, scaling metrics) ride XLA
-  collectives over ICI (`psum` inside `shard_map`), never host gathers.
+  collectives over ICI (`psum`/`pmax` inside `shard_map`,
+  :func:`sharded_summary`) — only scalars ever reach the host.
 
-All helpers work identically on a real TPU slice and on the CPU test mesh
-(``XLA_FLAGS=--xla_force_host_platform_device_count=N``).
+All helpers work identically on a real TPU slice, on the CPU test mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``), and on a
+multi-process ``jax.distributed`` mesh spanning hosts (see
+``parallel/distributed.py``): `Mesh` over ``jax.devices()`` covers every
+process's devices, and the same `shard_map` programs compile to ICI
+collectives within a slice and DCN collectives across hosts.
 """
 
 from __future__ import annotations
@@ -18,15 +23,24 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+try:  # JAX >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 BATCH_AXIS = "batch"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None,
               axis: str = BATCH_AXIS) -> Mesh:
-    """1-D mesh over the available devices (batch-parallel SPMD layout)."""
+    """1-D mesh over the available devices (batch-parallel SPMD layout).
+
+    In a multi-process (``jax.distributed``) job, ``jax.devices()`` lists
+    the GLOBAL device set, so the resulting mesh spans all hosts."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -55,3 +69,60 @@ def shard_batch(mesh: Mesh, tree, axis: str = BATCH_AXIS):
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(place, tree)
+
+
+# ---------------------------------------------------------------------------
+# Collective reductions (psum/pmax over the mesh — never host gathers)
+# ---------------------------------------------------------------------------
+
+def make_sharded_summary(mesh: Mesh, axis: str = BATCH_AXIS):
+    """Compiled per-batch convergence summary reduced ON DEVICE.
+
+    Each device reduces its local shard, then a single ``psum``/``pmax``
+    over the ``batch`` mesh axis combines them (ICI within a slice, DCN
+    across hosts). The host receives six replicated scalars — the batched
+    result arrays (xs, us, ...) never leave the devices.
+
+    Returns ``summarize(feasible, failed, iters, cost) -> dict``.
+    """
+    spec_b = PSpec(axis)
+    spec_r = PSpec()
+
+    def local(feasible, failed, iters, cost):
+        f32 = jnp.float32
+        sums = jnp.stack([
+            jnp.asarray(feasible.shape[0], f32),        # local count
+            jnp.sum(feasible.astype(f32)),
+            jnp.sum(failed.astype(f32)),
+            jnp.sum(iters.astype(f32)),
+            jnp.sum(cost.astype(f32)),
+        ])
+        sums = jax.lax.psum(sums, axis)
+        it_max = jax.lax.pmax(jnp.max(iters), axis)
+        return sums, it_max
+
+    fn = jax.jit(_shard_map(local, mesh=mesh,
+                            in_specs=(spec_b, spec_b, spec_b, spec_b),
+                            out_specs=(spec_r, spec_r)))
+
+    def summarize(feasible, failed, iters, cost) -> dict:
+        sums, it_max = fn(feasible, failed, iters, cost)
+        sums = np.asarray(sums)
+        n = float(sums[0])
+        return {
+            "n": int(n),
+            "feasible_frac": float(sums[1] / n),
+            "failed_frac": float(sums[2] / n),
+            "iters_mean": float(sums[3] / n),
+            "iters_max": int(it_max),
+            "cost_mean": float(sums[4] / n),
+        }
+
+    return summarize
+
+
+def sharded_summary(mesh: Mesh, res, axis: str = BATCH_AXIS) -> dict:
+    """One-shot :func:`make_sharded_summary` over an SbFddpResult-like
+    object (fields feasible / failed / iters / cost, batch-leading)."""
+    return make_sharded_summary(mesh, axis)(res.feasible, res.failed,
+                                            res.iters, res.cost)

@@ -58,6 +58,27 @@ class SolverSettings:
                                     # (O(log T) depth; see solvers/priccati.py)
     record_trace: bool = False    # return per-iteration IterTrace telemetry
 
+    # --- deviation switches (default = this solver's robust semantics) ----
+    # The reference semantics are selectable so regression tests can PIN the
+    # failure modes the deviations prevent (see tests/test_deviations.py):
+    crocoddyl_signed_d0: bool = False      # d0 < th_grad (src/sbfddp.cpp:272)
+                                           # vs our |d0| < th_grad
+    crocoddyl_negstep_always: bool = False  # negative-step acceptance also for
+                                            # FEASIBLE candidates (reference) vs
+                                            # our gap-closing-only gating
+    crocoddyl_signed_stop: bool = False    # stop on stop_val < th_stop even if
+                                           # negative (reference) vs >= 0 guard
+    th_diverge: float = 1e8       # forward-pass divergence bound on cost and
+                                  # |xnext|_inf. crocoddyl's raiseIfNaN uses
+                                  # 1e30 (reference src/sbfddp.cpp:444-448);
+                                  # at f32 that leaves a pathological scenario
+                                  # 20+ decades of room to ratchet through the
+                                  # DDP polish's infeasible-accept before the
+                                  # guard bites (measured: frozen at 7e25 with
+                                  # 1e30 vs recovering, |us| ~ 1e2, with 1e6).
+                                  # 1e8 is far above any legitimate mission
+                                  # cost while keeping divergence recoverable.
+
     @property
     def alphas(self):
         return tuple(0.5 ** k for k in range(self.n_alphas))
@@ -224,6 +245,14 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
     dtype = LxT.dtype
     I_ndx = jnp.eye(ndx, dtype=dtype)
     I_nu = jnp.eye(nu, dtype=dtype)
+    # dtype-relative PD floor: in f32 the roundoff of the Fu'VxxFu chain can
+    # exceed Quu's PD margin, failing the Cholesky and driving the expensive
+    # whole-pass regularization retry (observed: 12-13 retries/direction on
+    # the v5e). A floor of 100*eps relative to the diagonal magnitude kills
+    # those failures; at f64 it is ~2e-14 — semantically invisible, so the
+    # reference's absolute-reg behavior (crocoddyl SolverDDP) is preserved
+    # where it is validated.
+    rel_eps = 100.0 * jnp.finfo(dtype).eps
 
     VxxT = LxxT + xreg * I_ndx
     VxT = LxT + jnp.where(feasible, 0.0, VxxT @ fs[-1])
@@ -240,7 +269,9 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
         Qu = d.Lu + d.Fu.T @ Vx
         Qxx = d.Lxx + FxTV @ d.Fx
         Qxu = d.Lxu + FxTV @ d.Fu
-        Quu = d.Luu + FuTV @ d.Fu + ureg * I_nu
+        Quu_raw = d.Luu + FuTV @ d.Fu
+        diag_floor = rel_eps * jnp.max(jnp.abs(jnp.diagonal(Quu_raw)))
+        Quu = Quu_raw + (ureg + diag_floor) * I_nu
         if box is None:
             chol = smallmat.CholFactor(Quu)            # NaN on non-PD
             k = chol.solve(Qu)
@@ -293,9 +324,17 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
 
     bp0 = run_bp(xreg, ureg)
 
+    # non-finite DERIVATIVES cannot be fixed by regularization — escalating
+    # through the whole 1e-9..1e9 ladder (18 full backward re-runs, paid by
+    # the entire vmapped batch in lockstep) would be pure waste; fail fast
+    # instead (the reference would throw out of calcDiff here).
+    derivs_ok = (jnp.all(jnp.isfinite(derivs.Fx)) & jnp.all(jnp.isfinite(derivs.Lxx))
+                 & jnp.all(jnp.isfinite(derivs.Lu)) & jnp.isfinite(cost)
+                 & jnp.all(jnp.isfinite(term[2])))
+
     def cond(c):
         xr, _, bp = c
-        return (~bp.ok) & (xr < settings.reg_max)
+        return (~bp.ok) & derivs_ok & (xr < settings.reg_max)
 
     def body(c):
         xr, ur, _ = c
@@ -313,15 +352,23 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
 # ---------------------------------------------------------------------------
 
 def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
-                  box=False, unroll=1):
+                  box=False, unroll=1, th_diverge=1e30):
     """FDDP forward pass (crocoddyl SolverFDDP::forwardPass): the rollout
     starts from x0 and contracts the gaps by (alpha - 1) when infeasible.
     With ``use_gaps=False`` it is the plain DDP rollout
     (reference forwardPassDDP, src/sbfddp.cpp:416-460). ``box`` clamps the
-    controls to the bounds (crocoddyl SolverBoxDDP::forwardPass)."""
+    controls to the bounds (crocoddyl SolverBoxDDP::forwardPass).
+
+    A rollout is DIVERGED when the running cost or |xnext|_inf is non-finite
+    OR exceeds ``th_diverge`` — crocoddyl's raiseIfNaN also rejects values
+    >= 1e30 (reference checks at src/sbfddp.cpp:444-448); without the
+    magnitude bound, the DDP polish's unconditional infeasible-accept can
+    ratchet a pathological scenario's controls unboundedly across
+    warm-started MPC re-solves."""
     st = spec.state
     views = P.running_views(params.node, spec.T)
     keep_gaps = use_gaps & (~feasible) & (alpha != 1.0)
+    th_div = jnp.asarray(th_diverge, dtype=xs.dtype)
 
     def step(carry, inp):
         xnext, cost_acc, diverged = carry
@@ -332,8 +379,9 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
         if box:
             u_try = jnp.clip(u_try, params.glob.s_lb, params.glob.s_ub)
         xn, c, _ = P.node_calc(spec, view, params.glob, x_try, u_try)
-        diverged = diverged | ~jnp.isfinite(c) | ~jnp.all(jnp.isfinite(xn))
-        return (xn, cost_acc + c, diverged), (x_try, u_try)
+        bad = (~jnp.isfinite(c) | ~jnp.all(jnp.isfinite(xn))
+               | (cost_acc + c >= th_div) | (jnp.max(jnp.abs(xn)) >= th_div))
+        return (xn, cost_acc + c, diverged | bad), (x_try, u_try)
 
     init = (params.x0, jnp.zeros((), dtype=xs.dtype), jnp.zeros((), dtype=bool))
     (xnext, cost_try, diverged), (xs_try, us_try) = jax.lax.scan(
@@ -342,7 +390,7 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
     xT_try = jnp.where(keep_gaps, st.integrate(xnext, fs[-1] * (alpha - 1.0)), xnext)
     cT = P.terminal_calc(spec, P.node_view(params.node, spec.T), params.glob, xT_try)
     cost_try = cost_try + cT
-    diverged = diverged | ~jnp.isfinite(cost_try)
+    diverged = diverged | ~jnp.isfinite(cost_try) | (cost_try >= th_div)
     xs_try = jnp.concatenate([xs_try, xT_try[None]], axis=0)
     return xs_try, us_try, cost_try, diverged
 
@@ -372,6 +420,7 @@ def _expected_improvement(spec, bp, fs, xs, xs_try, dg, dq, feasible):
 # Main loops
 # ---------------------------------------------------------------------------
 
+@P.highest_matmul
 def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
                       maxiter, th_stop, reg_init, feasible_init, *, ddp: bool,
                       box: bool = False, trace_len: Optional[int] = None,
@@ -424,7 +473,7 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
             xs_try, us_try, cost_try, diverged = _forward_pass(
                 spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
                 use_gaps=jnp.asarray(not ddp), box=box,
-                unroll=settings.scan_unroll)
+                unroll=settings.scan_unroll, th_diverge=settings.th_diverge)
             if ddp:
                 d0, d1 = dg, dq
             else:
@@ -437,18 +486,33 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
             # corrections d0 can go strongly NEGATIVE while dVexp stays
             # positive, and the signed test then accepts arbitrarily bad
             # cost blow-ups. The absolute test keeps the intended
-            # "gradient ~ 0 -> accept and stop" semantics and is a strict
-            # robustness improvement observed on perturbed-x0 batches.
-            at_stationary = jnp.abs(d0) < settings.th_grad
+            # "gradient ~ 0 -> accept and stop" semantics; the failure mode
+            # is pinned by tests/test_deviations.py.
+            if settings.crocoddyl_signed_d0:
+                at_stationary = d0 < settings.th_grad
+            else:
+                at_stationary = jnp.abs(d0) < settings.th_grad
             if ddp:
                 accept = (dVexp >= 0) & (
                     at_stationary | (~s.feasible)
                     | (dV > settings.th_acceptstep * dVexp))
             else:
+                # The negative-expected-improvement acceptance exists for GAP
+                # CLOSING (reference src/sbfddp.cpp:280-289: an infeasible
+                # candidate may pay cost to contract the defects). Applying
+                # it to FEASIBLE candidates is a runaway hazard: when Quu is
+                # near-singular the gains blow up, dVexp becomes hugely
+                # negative, and the branch then accepts arbitrarily large
+                # cost increases — observed as pre-squash controls ratcheting
+                # to 1e5 over warm-started re-solves. Feasible candidates
+                # have zero gaps, so the branch has nothing to buy there.
+                neg_ok = dV > settings.th_acceptnegstep * dVexp
+                if not settings.crocoddyl_negstep_always:
+                    neg_ok = (~s.feasible) & neg_ok
                 accept = jnp.where(
                     dVexp >= 0,
                     at_stationary | (dV > settings.th_acceptstep * dVexp),
-                    dV > settings.th_acceptnegstep * dVexp)
+                    neg_ok)
             accept = accept & ~diverged
             return xs_try, us_try, cost_try, accept
 
@@ -480,8 +544,12 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         # must be NON-NEGATIVE to count as convergence — the reference's
         # signed test would declare a cost-increasing accepted step (possible
         # on the unconditional infeasible first DDP accept) converged.
+        # Pinned by tests/test_deviations.py.
         stop_val = jnp.where(any_accept, cost - cost_new, s.stop_val)
-        small_red = (stop_val >= 0) & (stop_val < th_stop)
+        if settings.crocoddyl_signed_stop:
+            small_red = stop_val < th_stop
+        else:
+            small_red = (stop_val >= 0) & (stop_val < th_stop)
         if ddp:
             done = any_accept & small_red & feas_new
         else:

@@ -86,6 +86,7 @@ def _set_homotopy(spec, params: P.ProblemParams, smooth) -> P.ProblemParams:
     return params._replace(glob=glob)
 
 
+@P.highest_matmul
 def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
           us_init=None, maxiter: int = 100, feasible: bool = False,
           settings: Optional[SbFddpSettings] = None) -> SbFddpResult:

@@ -128,5 +128,69 @@ class TestUpstreamSchemaCompat:
             assert mp.knots > 0 and mp.dt > 0
 
 
+class TestConverterCodecs:
+    """Full converter<T> parity (reference include/eagle_mpc/utils/
+    converter.hpp:100-262 + converter_utils.cpp) with reference-format
+    strings, incl. the dynamic-Eigen / pair / map forms round-1 lacked."""
+
+    def test_static_vector(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        np.testing.assert_allclose(cvt.convert_matrix("[1,2.5,-3]"),
+                                   [1.0, 2.5, -3.0])
+
+    def test_dynamic_matrix(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        m = cvt.convert_matrix("[[2,3],1,2,3,4,5,6]")
+        np.testing.assert_allclose(m, [[1, 2, 3], [4, 5, 6]])
+
+    def test_dynamic_matrix_dim_mismatch_raises(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        with pytest.raises(ValueError):
+            cvt.convert_matrix("[[2,2],1,2,3]")
+
+    def test_pair(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        assert cvt.convert_pair("{gain:2.5}") == ("gain", 2.5)
+        assert cvt.convert_pair("{name:hexa}", str) == ("name", "hexa")
+
+    def test_map(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        m = cvt.convert_map("[{kp:1.5},{kd:0.25}]")
+        assert m == {"kp": 1.5, "kd": 0.25}
+
+    def test_map_invalid_raises(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        with pytest.raises(ValueError):
+            cvt.convert_map("[kp:1.5]")
+
+    def test_parse_list_nested(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        assert cvt.parse_list("[a,[b,c],{d:e}]") == ["a", "[b,c]", "{d:e}"]
+
+    def test_roundtrip_serialization(self):
+        from eagle_mpc_tpu.config import converter as cvt
+        m = np.arange(6.0).reshape(2, 3)
+        s = cvt.to_string(m)
+        assert s.startswith("[[2,3],")
+        np.testing.assert_allclose(cvt.convert_matrix(s), m)
+        d = {"a": 1.0, "b": -2.5}
+        assert cvt.convert_map(cvt.to_string(d)) == d
+
+    def test_params_server_getters(self):
+        from eagle_mpc_tpu.config.parser import ParamsServer
+        server = ParamsServer({
+            "mat": "[[2,2],1,2,3,4]",
+            "vec": "[1,2,3]",
+            "vec_dyn": "[[1,3],7,8,9]",
+            "gains": "[{kp:10},{kd:2}]",
+            "pair": "{mass:1.52}",
+        })
+        np.testing.assert_allclose(server.get_matrix("mat"), [[1, 2], [3, 4]])
+        np.testing.assert_allclose(server.get_matrix("vec"), [1, 2, 3])
+        np.testing.assert_allclose(server.get_vector("vec_dyn"), [7, 8, 9])
+        assert server.get_map("gains") == {"kp": 10.0, "kd": 2.0}
+        assert server.get_pair("pair") == ("mass", 1.52)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -1,0 +1,290 @@
+"""Independent-oracle parity: the XLA solver stack vs the pure-NumPy
+re-derivation (utils/oracle_np.py).
+
+This is the redundancy channel VERDICT r1 called for: with no crocoddyl /
+pinocchio available, the only defense against a correct-LOOKING shared bug
+is a second implementation built from different formulations (world-frame
+Newton-Euler vs local-frame spatial algebra; RNEA-column mass matrix vs
+CRBA; finite differences vs autodiff; sequential Python loops vs vmapped
+XLA). Analog of the reference's own pure-Python ``SolverSquashFDDP``
+cross-check (/root/reference/bindings/python/eagle_mpc/utils/
+solver_squash.py:59-79).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eagle_mpc_tpu.config import specs
+from eagle_mpc_tpu.dynamics import rbd
+from eagle_mpc_tpu.ocp import problem as P
+from eagle_mpc_tpu.solvers import fddp, sbfddp
+from eagle_mpc_tpu.utils import oracle_np as O
+
+MISSIONS = os.path.join(os.path.dirname(__file__), "..", "missions")
+
+ROBOTS = ["iris", "hexacopter370", "hexacopter370_flying_arm_3",
+          "hexacopter680_flying_arm_2", "hextilt", "hextilt_flying_arm_5",
+          "iris_px4"]
+
+
+def _rand_state(model, rng):
+    q = rng.normal(size=model.nq)
+    q[3:7] /= np.linalg.norm(q[3:7])
+    v = rng.normal(size=model.nv)
+    return q, v
+
+
+class TestDynamicsOracle:
+    """World-frame Newton-Euler vs local-frame spatial-algebra RNEA/CRBA on
+    every robot — independent formulations must agree to f64 precision."""
+
+    @pytest.mark.parametrize("robot", ROBOTS)
+    def test_rnea_matches(self, robot):
+        traj = specs.load_trajectory(f"{robot}/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        model = traj.model
+        dyn = O.DynamicsNp(model)
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            q, v = _rand_state(model, rng)
+            a = rng.normal(size=model.nv)
+            tau_o = dyn.rnea(q, v, a)
+            tau_j = np.asarray(rbd.rnea(model, jnp.asarray(q), jnp.asarray(v),
+                                        jnp.asarray(a)))
+            np.testing.assert_allclose(tau_o, tau_j, rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("robot", ["iris", "hexacopter370_flying_arm_3",
+                                       "hextilt_flying_arm_5"])
+    def test_mass_matrix_matches(self, robot):
+        traj = specs.load_trajectory(f"{robot}/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        model = traj.model
+        dyn = O.DynamicsNp(model)
+        rng = np.random.default_rng(4)
+        q, _ = _rand_state(model, rng)
+        M_o = dyn.mass_matrix(q)
+        M_j = np.asarray(rbd.crba(model, jnp.asarray(q)))
+        np.testing.assert_allclose(M_o, M_j, rtol=1e-8, atol=1e-9)
+
+    def test_frame_kinematics_match(self):
+        traj = specs.load_trajectory(
+            "hexacopter370_flying_arm_3/trajectories/displacement.yaml",
+            yaml_dir=MISSIONS)
+        model = traj.model
+        dyn = O.DynamicsNp(model)
+        rng = np.random.default_rng(5)
+        q, v = _rand_state(model, rng)
+        fid = next(i for i, f in enumerate(model.frames)
+                   if f.name == "flying_arm_3__gripper")
+        p_o, R_o = dyn.frame_placement(q, fid)
+        p_j, R_j = rbd.frame_placement(model, jnp.asarray(q), fid)
+        np.testing.assert_allclose(p_o, np.asarray(p_j), atol=1e-10)
+        np.testing.assert_allclose(R_o, np.asarray(R_j), atol=1e-10)
+        v_o = dyn.frame_velocity_local(q, v, fid)
+        v_j = np.asarray(rbd.frame_velocity(model, jnp.asarray(q),
+                                            jnp.asarray(v), fid))
+        np.testing.assert_allclose(v_o, v_j, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def iris_problem():
+    traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                 yaml_dir=MISSIONS)
+    spec, params = P.from_trajectory(traj, dt_ms=100, use_squash=True,
+                                     integrator="IntegratedActionModelEuler")
+    return spec, params
+
+
+class TestProblemOracle:
+    """Node evaluation + Gauss-Newton derivatives: FD oracle vs autodiff."""
+
+    def test_node_calc_matches(self, iris_problem):
+        spec, params = iris_problem
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(0)
+        x = np.asarray(params.x0, dtype=np.float64)
+        x[:3] += 0.1 * rng.normal(size=3)
+        s = rng.normal(size=spec.nu)
+        for t in (0, spec.T // 2, spec.T - 1):
+            xn_o, c_o = prob.node_calc(t, x, s)
+            xn_j, c_j, _ = P.node_calc(spec, P.node_view(P.as_device(params).node, t),
+                                       P.as_device(params).glob,
+                                       jnp.asarray(x), jnp.asarray(s))
+            np.testing.assert_allclose(xn_o, np.asarray(xn_j), atol=1e-10)
+            np.testing.assert_allclose(c_o, float(c_j), rtol=1e-10)
+
+    def test_node_derivatives_match(self, iris_problem):
+        spec, params = iris_problem
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(1)
+        x = np.asarray(params.x0, dtype=np.float64)
+        x[:3] += 0.1 * rng.normal(size=3)
+        x[spec.model.nq:] += 0.1 * rng.normal(size=spec.model.nv)
+        s = rng.normal(size=spec.nu)
+        t = 1
+        d_o = prob.node_calc_diff(t, x, s)
+        d_j = P.node_calc_diff(spec, P.node_view(P.as_device(params).node, t),
+                               P.as_device(params).glob,
+                               jnp.asarray(x), jnp.asarray(s))
+        # FD tolerance: central differences at eps=1e-6 -> ~1e-7 absolute
+        np.testing.assert_allclose(d_o["Fx"], np.asarray(d_j.Fx), atol=5e-7)
+        np.testing.assert_allclose(d_o["Fu"], np.asarray(d_j.Fu), atol=5e-6)
+        np.testing.assert_allclose(d_o["Lx"], np.asarray(d_j.Lx), atol=1e-5)
+        np.testing.assert_allclose(d_o["Lu"], np.asarray(d_j.Lu), atol=1e-5)
+        np.testing.assert_allclose(d_o["Lxx"], np.asarray(d_j.Lxx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(d_o["Luu"], np.asarray(d_j.Luu),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestSolverOracle:
+    """The headline redundancy test: sequential NumPy SbFDDP vs the XLA
+    program on the same problem — iteration-1 gains, per-iteration costs,
+    and the final solution must agree."""
+
+    @pytest.fixture(scope="class")
+    def both_solves(self, iris_problem):
+        spec, params = iris_problem
+        # XLA solve with telemetry
+        st = sbfddp.SbFddpSettings(
+            solver=fddp.SolverSettings(record_trace=True))
+        res = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=30,
+                                             settings=st))(params)
+        # oracle solve
+        prob = O.OracleProblem(spec, params)
+        orc = O.OracleSbFddp(prob)
+        T, nu = spec.T, spec.nu
+        xs0 = np.tile(np.asarray(params.x0), (T + 1, 1))
+        us0 = np.zeros((T, nu))
+        xs_o, us_o, usq_o, cost_o, feas_o = orc.solve(xs0, us0, maxiter=30)
+        return spec, res, orc, (xs_o, us_o, usq_o, cost_o, feas_o)
+
+    def test_first_backward_gains(self, iris_problem):
+        spec, params = iris_problem
+        prob = O.OracleProblem(spec, params)
+        orc_sb = O.OracleSbFddp(prob)
+        orc_sb._set_homotopy(0.1)
+        orc = O.OracleFddp(prob)
+        T, nu = spec.T, spec.nu
+        xs0 = np.tile(np.asarray(params.x0), (T + 1, 1))
+        us0 = np.zeros((T, nu))
+        derivs, term, cost = orc._calc_diff(xs0, us0)
+        fs = orc._gaps(xs0, derivs, False)
+        bp_o = orc._backward(derivs, term, fs, 1e-9, 1e-9, False)
+
+        dparams = P.as_device(params)
+        dj, tj = P.calc_diff_all(spec, dparams, jnp.asarray(xs0), jnp.asarray(us0))
+        fsj = fddp._gaps(spec, dparams, jnp.asarray(xs0), dj, jnp.asarray(False))
+        bp_j = fddp._backward_pass(spec, dj, tj, fsj, jnp.asarray(1e-9),
+                                   jnp.asarray(1e-9), jnp.asarray(False))
+        np.testing.assert_allclose(fs, np.asarray(fsj), atol=1e-9)
+        np.testing.assert_allclose(bp_o["k"], np.asarray(bp_j.k),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(bp_o["K"], np.asarray(bp_j.K),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_solve_cost_trajectory_matches(self, both_solves):
+        spec, res, orc, oracle_out = both_solves
+        tr = res.trace
+        acc = np.asarray(tr.accepted)
+        used = acc != -1
+        costs_xla = np.asarray(tr.cost)[used & (acc == 1)]
+        costs_orc = np.asarray(orc.fddp.trace.cost)
+        n = min(len(costs_xla), len(costs_orc), 5)
+        # the first accepted iterations must track each other closely; later
+        # iterations may diverge step-wise through tie-break noise
+        np.testing.assert_allclose(costs_xla[:n], costs_orc[:n],
+                                   rtol=2e-3)
+
+    def test_final_solution_matches(self, both_solves):
+        spec, res, orc, (xs_o, us_o, usq_o, cost_o, feas_o) = both_solves
+        assert bool(res.feasible) and feas_o
+        np.testing.assert_allclose(float(res.cost), cost_o, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.xs)[-1], xs_o[-1],
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.us_squash), usq_o,
+                                   atol=1e-3)
+
+
+class TestFlagshipOracle:
+    """Flagship (hexacopter370_flying_arm_3 displacement): first-backward
+    gains + early cost trajectory vs the oracle. Full FD-convergence runs
+    are minutes-slow in Python, so the parity window is the first
+    iterations — exactly where a systematic derivative or Riccati bug
+    would show."""
+
+    @pytest.fixture(scope="class")
+    def flagship(self):
+        traj = specs.load_trajectory(
+            "hexacopter370_flying_arm_3/trajectories/displacement.yaml",
+            yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(traj, dt_ms=150, use_squash=True,
+                                         integrator="IntegratedActionModelEuler")
+        return spec, params
+
+    def test_node_derivatives_match(self, flagship):
+        """Robot-specific parity: flagship node derivatives (arm joints,
+        frame costs) FD-oracle vs autodiff. The full backward RECURSION is
+        pinned on iris at tight precision (TestSolverOracle) — on the
+        flagship its |Fx| ~ 2e3 amplifies the oracle's O(1e-5) FD noise
+        multiplicatively per step, so gains themselves cannot be compared
+        meaningfully at f64 FD precision."""
+        spec, params = flagship
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(7)
+        x = np.asarray(params.x0, dtype=np.float64).copy()
+        x[:3] += 0.1 * rng.normal(size=3)
+        x[7:spec.model.nq] += 0.2 * rng.normal(size=spec.model.nq - 7)
+        x[spec.model.nq:] += 0.1 * rng.normal(size=spec.model.nv)
+        s = rng.normal(size=spec.nu)
+        dpar = P.as_device(params)
+        for t in (0, spec.T - 1):
+            d_o = prob.node_calc_diff(t, x, s)
+            d_j = P.node_calc_diff(spec, P.node_view(dpar.node, t), dpar.glob,
+                                   jnp.asarray(x), jnp.asarray(s))
+            for name in ("Fx", "Fu", "Lx", "Lu", "Lxx", "Luu"):
+                a = d_o[name]
+                b = np.asarray(getattr(d_j, name))
+                scale = max(np.abs(b).max(), 1.0)
+                np.testing.assert_allclose(a, b, atol=2e-7 * scale,
+                                           err_msg=f"{name} @ node {t}")
+        lT_o, Lx_o, Lxx_o = prob.terminal_calc_diff(x)
+        lT_j, Lx_j, Lxx_j = P.terminal_calc_diff(
+            spec, P.node_view(dpar.node, spec.T), dpar.glob, jnp.asarray(x))
+        np.testing.assert_allclose(lT_o, float(lT_j), rtol=1e-9)
+        np.testing.assert_allclose(Lxx_o, np.asarray(Lxx_j),
+                                   atol=2e-7 * np.abs(np.asarray(Lxx_j)).max())
+
+    def test_early_cost_trajectory(self, flagship):
+        spec, params = flagship
+        st = sbfddp.SbFddpSettings(
+            solver=fddp.SolverSettings(record_trace=True))
+        res = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=3,
+                                             settings=st))(params)
+        prob = O.OracleProblem(spec, params)
+        orc_sb = O.OracleSbFddp(prob)
+        T, nu = spec.T, spec.nu
+        xs0 = np.tile(np.asarray(params.x0), (T + 1, 1))
+        us0 = np.zeros((T, nu))
+        orc_sb.solve(xs0, us0, maxiter=3)
+        tr = res.trace
+        acc = np.asarray(tr.accepted)
+        costs_xla = np.asarray(tr.cost)[(acc == 1)]
+        costs_orc = np.asarray(orc_sb.fddp.trace.cost)
+        n = min(len(costs_xla), len(costs_orc), 3)
+        assert n >= 2
+        # FD-amplified gain noise (|Fx| ~ 2e3) compounds per accepted step on
+        # this stiff problem, so per-iteration costs track at the percent
+        # level only (tight parity is asserted on iris); both solvers must
+        # descend monotonically from the same start.
+        np.testing.assert_allclose(costs_xla[:n], costs_orc[:n], rtol=5e-2)
+        assert np.all(np.diff(costs_xla[:n]) < 0)
+        assert np.all(np.diff(costs_orc[:n]) < 0)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
