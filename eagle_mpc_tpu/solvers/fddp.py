@@ -422,21 +422,28 @@ def _expected_improvement(spec, bp, fs, xs, xs_try, dg, dq, feasible):
 
 @P.highest_matmul
 def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
-                      maxiter, th_stop, reg_init, feasible_init, *, ddp: bool,
+                      maxiter, th_stop, reg_init, feasible_init, *, ddp,
                       box: bool = False, trace_len: Optional[int] = None,
-                      phase_id: int = 0):
+                      phase_id=0):
     """Shared outer loop for FDDP (gap-aware) and the DDP polish variant.
 
     All loop-carried quantities are arrays; vmap over ``params`` batches the
-    whole solver. With ``settings.record_trace`` a fixed-length
-    :class:`IterTrace` is carried through the loop and returned in
-    ``SolveResult.trace`` — the reference drives CallbackVerbose from its
-    iteration loop at /root/reference/src/sbfddp.cpp:303-307. ``trace_len``
-    must then be static (defaults to ``int(maxiter)``); ``phase_id`` labels
-    the rows (homotopy stage, or -2 for the DDP polish)."""
+    whole solver. ``ddp`` may be a Python bool OR a traced boolean — the
+    FDDP/DDP differences are data (selects), so ONE compiled body serves
+    both, letting SbFDDP fold its homotopy stages + polish into a single
+    ``lax.scan`` (one solver instantiation per program instead of
+    n_stages + 1 — the dominant XLA compile cost).
+
+    With ``settings.record_trace`` a fixed-length :class:`IterTrace` is
+    carried through the loop and returned in ``SolveResult.trace`` — the
+    reference drives CallbackVerbose from its iteration loop at
+    /root/reference/src/sbfddp.cpp:303-307. ``trace_len`` must then be
+    static (defaults to ``int(maxiter)``); ``phase_id`` labels the rows
+    (homotopy stage, or -2 for the DDP polish)."""
     params = P.as_device(params)
     dtype = xs_init.dtype
     alphas = jnp.asarray(settings.alphas, dtype=dtype)
+    ddp = jnp.asarray(ddp)
     record = settings.record_trace
     if record and trace_len is None:
         if not isinstance(maxiter, int):
@@ -472,13 +479,12 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         def try_alpha(alpha):
             xs_try, us_try, cost_try, diverged = _forward_pass(
                 spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
-                use_gaps=jnp.asarray(not ddp), box=box,
+                use_gaps=~ddp, box=box,
                 unroll=settings.scan_unroll, th_diverge=settings.th_diverge)
-            if ddp:
-                d0, d1 = dg, dq
-            else:
-                d0, d1 = _expected_improvement(spec, bp, fs, s.xs, xs_try,
+            d0_f, d1_f = _expected_improvement(spec, bp, fs, s.xs, xs_try,
                                                dg, dq, s.feasible)
+            d0 = jnp.where(ddp, dg, d0_f)
+            d1 = jnp.where(ddp, dq, d1_f)
             dV = cost - cost_try
             dVexp = alpha * (d0 + 0.5 * alpha * d1)
             # Stationarity acceptance uses |d0| < th_grad, not the reference's
@@ -492,28 +498,26 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
                 at_stationary = d0 < settings.th_grad
             else:
                 at_stationary = jnp.abs(d0) < settings.th_grad
-            if ddp:
-                accept = (dVexp >= 0) & (
-                    at_stationary | (~s.feasible)
-                    | (dV > settings.th_acceptstep * dVexp))
-            else:
-                # The negative-expected-improvement acceptance exists for GAP
-                # CLOSING (reference src/sbfddp.cpp:280-289: an infeasible
-                # candidate may pay cost to contract the defects). Applying
-                # it to FEASIBLE candidates is a runaway hazard: when Quu is
-                # near-singular the gains blow up, dVexp becomes hugely
-                # negative, and the branch then accepts arbitrarily large
-                # cost increases — observed as pre-squash controls ratcheting
-                # to 1e5 over warm-started re-solves. Feasible candidates
-                # have zero gaps, so the branch has nothing to buy there.
-                neg_ok = dV > settings.th_acceptnegstep * dVexp
-                if not settings.crocoddyl_negstep_always:
-                    neg_ok = (~s.feasible) & neg_ok
-                accept = jnp.where(
-                    dVexp >= 0,
-                    at_stationary | (dV > settings.th_acceptstep * dVexp),
-                    neg_ok)
-            accept = accept & ~diverged
+            accept_ddp = (dVexp >= 0) & (
+                at_stationary | (~s.feasible)
+                | (dV > settings.th_acceptstep * dVexp))
+            # The negative-expected-improvement acceptance exists for GAP
+            # CLOSING (reference src/sbfddp.cpp:280-289: an infeasible
+            # candidate may pay cost to contract the defects). Applying
+            # it to FEASIBLE candidates is a runaway hazard: when Quu is
+            # near-singular the gains blow up, dVexp becomes hugely
+            # negative, and the branch then accepts arbitrarily large
+            # cost increases — observed as pre-squash controls ratcheting
+            # to 1e5 over warm-started re-solves. Feasible candidates
+            # have zero gaps, so the branch has nothing to buy there.
+            neg_ok = dV > settings.th_acceptnegstep * dVexp
+            if not settings.crocoddyl_negstep_always:
+                neg_ok = (~s.feasible) & neg_ok
+            accept_fddp = jnp.where(
+                dVexp >= 0,
+                at_stationary | (dV > settings.th_acceptstep * dVexp),
+                neg_ok)
+            accept = jnp.where(ddp, accept_ddp, accept_fddp) & ~diverged
             return xs_try, us_try, cost_try, accept
 
         xs_a, us_a, cost_a, accept_a = jax.vmap(try_alpha)(alphas)
@@ -524,11 +528,10 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
         xs_new = jnp.where(any_accept, xs_a[sel], s.xs)
         us_new = jnp.where(any_accept, us_a[sel], s.us)
         cost_new = jnp.where(any_accept, cost_a[sel], cost)
-        if ddp:
-            feas_new = jnp.where(any_accept, True, s.feasible)
-        else:
-            feas_new = jnp.where(any_accept,
-                                 s.feasible | (steplength == 1.0), s.feasible)
+        feas_new = jnp.where(any_accept,
+                             jnp.where(ddp, True,
+                                       s.feasible | (steplength == 1.0)),
+                             s.feasible)
 
         # regularization schedule (crocoddyl SolverDDP)
         dec = steplength > settings.th_stepdec
@@ -550,10 +553,8 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
             small_red = stop_val < th_stop
         else:
             small_red = (stop_val >= 0) & (stop_val < th_stop)
-        if ddp:
-            done = any_accept & small_red & feas_new
-        else:
-            done = any_accept & small_red & (gap_norm < settings.th_stop_gaps)
+        done = any_accept & small_red & jnp.where(
+            ddp, feas_new, gap_norm < settings.th_stop_gaps)
 
         trace = s.trace
         if record:
@@ -565,7 +566,7 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
                 xreg=trace.xreg.at[i].set(xreg),
                 gap_norm=trace.gap_norm.at[i].set(gap_norm),
                 accepted=trace.accepted.at[i].set(any_accept.astype(jnp.int8)),
-                phase=trace.phase.at[i].set(jnp.int8(phase_id)),
+                phase=trace.phase.at[i].set(jnp.asarray(phase_id, jnp.int8)),
             )
 
         return _IterState(

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ocp import actuation as act
 from ..ocp import problem as P
@@ -102,60 +103,64 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
         xs_init = xs_init if xs_init is not None else xs0
         us_init = us_init if us_init is not None else us0
 
-    xs, us = xs_init, us_init
-    feas = jnp.asarray(feasible)
-    total_iters = jnp.zeros((), jnp.int32)
-    failed = jnp.zeros((), bool)
+    dtype = xs_init.dtype
     record = settings.solver.record_trace
-    traces = []
     maxiter_static = int(maxiter) if record else None
-
-    smooth = settings.smooth_init
-    convergence = settings.convergence_init
     maxiter_arr = jnp.asarray(maxiter, jnp.int32)
+    n_stages = settings.n_stages
+    final_smooth = settings.smooth_init * settings.smooth_mult ** (n_stages - 1)
 
-    for stage in range(settings.n_stages):
-        params = _set_homotopy(spec, params, smooth)
-        res = fddp.solve_fddp(spec, settings.solver, params, xs, us,
-                              maxiter_arr, jnp.asarray(convergence, dtype=xs.dtype),
-                              reg_init=settings.reg_init, feasible=False,
-                              trace_len=maxiter_static, phase_id=stage)
-        xs, us, feas = res.xs, res.us, res.feasible
-        total_iters = total_iters + res.iters
-        failed = failed | res.failed
-        if record:
-            traces.append(res.trace)
-        smooth *= settings.smooth_mult
-        convergence *= settings.convergence_mult
-    cost_fddp = res.cost
+    # Homotopy schedule + DDP polish as ONE lax.scan: the FDDP/DDP
+    # differences inside solve_fddp_or_ddp are data (traced ``ddp`` flag),
+    # so the whole SbFDDP solve contains exactly ONE solver body — XLA
+    # compile time is dominated by solver-body instantiations (was
+    # n_stages + 1 of them). Schedule rows: n_stages FDDP stages with
+    # annealed (smooth, th_stop), then the plain-DDP polish at the final
+    # smoothness (reference loop at src/sbfddp.cpp:205-219).
+    smooth_k = np.array([settings.smooth_init * settings.smooth_mult ** k
+                         for k in range(n_stages)] + [final_smooth])
+    th_stop_k = np.array([settings.convergence_init * settings.convergence_mult ** k
+                          for k in range(n_stages)] + [settings.convergence_stop])
+    ddp_k = np.array([False] * n_stages + [True])
+    phase_k = np.array(list(range(n_stages)) + [-2], dtype=np.int8)
 
-    final_smooth = settings.smooth_init * settings.smooth_mult ** (settings.n_stages - 1)
+    def stage(carry, inp):
+        xs, us, feas, iters, failed = carry
+        smooth, th_stop, ddp, phase = inp
+        params_k = _set_homotopy(spec, params, smooth.astype(dtype))
+        # the polish runs only for still-infeasible candidates
+        # (src/sbfddp.cpp:217-219); masked per element, so a feasible batch
+        # element keeps its candidate (maxiter 0 leaves the state untouched)
+        maxiter_k = jnp.where(ddp & feas, 0, maxiter_arr)
+        feas_in = jnp.where(ddp, feas, False)
+        res = fddp.solve_fddp_or_ddp(
+            spec, settings.solver, params_k, xs, us, maxiter_k,
+            th_stop.astype(dtype), settings.reg_init, feas_in, ddp=ddp,
+            trace_len=maxiter_static, phase_id=phase)
+        feas_new = jnp.where(ddp, feas | res.feasible, res.feasible)
+        carry = (res.xs, res.us, feas_new, iters + res.iters,
+                 failed | res.failed)
+        return carry, (res.cost, res.trace)
+
+    init = (xs_init, us_init, jnp.asarray(feasible),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    (xs, us, feas_out, total_iters, failed), (costs, traces) = jax.lax.scan(
+        stage, init,
+        (jnp.asarray(smooth_k, dtype), jnp.asarray(th_stop_k, dtype),
+         jnp.asarray(ddp_k), jnp.asarray(phase_k)))
+    cost = costs[-1]
+
     params = _set_homotopy(spec, params, final_smooth)
-
-    # plain-DDP polish if the FDDP stages ended infeasible
-    # (src/sbfddp.cpp:217-219); masked, so a feasible batch element keeps
-    # its candidate.
-    ddp_res = fddp.solve_ddp(spec, settings.solver, params, xs, us,
-                             jnp.where(feas, 0, maxiter_arr),
-                             jnp.asarray(settings.convergence_stop, dtype=xs.dtype),
-                             reg_init=settings.reg_init, feasible=feas,
-                             trace_len=maxiter_static, phase_id=-2)
-    if record:
-        traces.append(ddp_res.trace)
-    xs = jnp.where(feas, xs, ddp_res.xs)
-    us = jnp.where(feas, us, ddp_res.us)
-    # ``final_smooth`` equals the LAST homotopy stage's smoothness, so the
-    # feasible branch's cost is exactly that stage's converged cost — no
-    # re-evaluation needed (ddp_res.cost covers the polish branch)
-    cost = jnp.where(feas, cost_fddp, ddp_res.cost)
-    total_iters = total_iters + jnp.where(feas, 0, ddp_res.iters)
-    feas_out = feas | ddp_res.feasible
-
     us_squash = P.squashed_controls(spec, params, us)
+    trace = None
+    if record:
+        # (n_stages + 1, maxiter) rows -> flat concat order
+        trace = fddp.IterTrace(*(t.reshape((-1,) + t.shape[2:])
+                                 for t in traces))
     return SbFddpResult(xs=xs, us=us, us_squash=us_squash, cost=cost,
                         iters=total_iters, feasible=feas_out, failed=failed,
-                        smooth=jnp.asarray(final_smooth, dtype=xs.dtype),
-                        trace=fddp.concat_traces(traces) if record else None)
+                        smooth=jnp.asarray(final_smooth, dtype=dtype),
+                        trace=trace)
 
 
 def _total_cost(spec, params, xs, us):
