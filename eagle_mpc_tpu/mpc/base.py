@@ -94,12 +94,17 @@ class MpcAbstract:
         return sbfddp.SbFddpSettings(convergence_init=convergence_init)
 
     def solve(self, params: P.ProblemParams, xs, us, maxiter: Optional[int] = None,
-              settings: Optional[sbfddp.SbFddpSettings] = None):
-        """One warm-started MPC solve. Jit/vmap-safe (wrap externally)."""
+              settings: Optional[sbfddp.SbFddpSettings] = None,
+              schedule: Optional[sbfddp.HomotopySchedule] = None):
+        """One warm-started MPC solve. Jit/vmap-safe (wrap externally).
+
+        ``schedule`` (traced homotopy rows) lets one compiled program serve
+        both the warm-start solve and the per-tick re-solve."""
         maxiter = self.iters if maxiter is None else maxiter
         if self.solver_type == cspecs.SOLVER_SBFDDP:
             return sbfddp.solve(self.spec, params, xs, us, maxiter=maxiter,
-                                settings=settings or self.solver_settings())
+                                settings=settings or self.solver_settings(),
+                                schedule=schedule)
         # Box solvers consume raw controls (no squash slot in the spec).
         box = fddp.solve_box_fddp if self.solver_type == cspecs.SOLVER_BOX_FDDP \
             else fddp.solve_box_ddp

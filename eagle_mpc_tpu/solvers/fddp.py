@@ -322,8 +322,6 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
             return _backward_pass(spec, derivs, term, fs, xr, ur, feasible,
                                   box_info, unroll=settings.scan_unroll)
 
-    bp0 = run_bp(xreg, ureg)
-
     # non-finite DERIVATIVES cannot be fixed by regularization — escalating
     # through the whole 1e-9..1e9 ladder (18 full backward re-runs, paid by
     # the entire vmapped batch in lockstep) would be pure waste; fail fast
@@ -332,17 +330,32 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
                  & jnp.all(jnp.isfinite(derivs.Lu)) & jnp.isfinite(cost)
                  & jnp.all(jnp.isfinite(term[2])))
 
+    # Escalation as a do-while with a single backward-pass instantiation:
+    # iteration 0 runs at the incoming (xreg, ureg), later iterations
+    # escalate first. One instantiation (vs. bp0 + loop body) halves the
+    # compile weight of the dominant sub-program (VERDICT r2 item 2).
+    dtype = xs.dtype
+    T, ndx, nu = spec.T, spec.state.ndx, spec.nu
+    bp_dummy = BackwardPassData(
+        k=jnp.zeros((T, nu), dtype), K=jnp.zeros((T, nu, ndx), dtype),
+        Qu=jnp.zeros((T, nu), dtype), Quuk=jnp.zeros((T, nu), dtype),
+        Vx=jnp.zeros((T + 1, ndx), dtype),
+        Vxx=jnp.zeros((T + 1, ndx, ndx), dtype),
+        ok=jnp.asarray(False))
+
     def cond(c):
-        xr, _, bp = c
-        return (~bp.ok) & derivs_ok & (xr < settings.reg_max)
+        i, xr, _, bp = c
+        return (i == 0) | ((~bp.ok) & derivs_ok & (xr < settings.reg_max))
 
     def body(c):
-        xr, ur, _ = c
-        xr = jnp.minimum(xr * settings.reg_factor, settings.reg_max)
-        ur = jnp.minimum(ur * settings.reg_factor, settings.reg_max)
-        return xr, ur, run_bp(xr, ur)
+        i, xr, ur, _ = c
+        esc = i > 0
+        xr = jnp.where(esc, jnp.minimum(xr * settings.reg_factor, settings.reg_max), xr)
+        ur = jnp.where(esc, jnp.minimum(ur * settings.reg_factor, settings.reg_max), ur)
+        return i + 1, xr, ur, run_bp(xr, ur)
 
-    xreg, ureg, bp = jax.lax.while_loop(cond, body, (xreg, ureg, bp0))
+    _, xreg, ureg, bp = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), xreg, ureg, bp_dummy))
     failed = ~bp.ok
     return cost, fs, bp, xreg, ureg, failed
 

@@ -56,6 +56,49 @@ class SbFddpSettings:
         return max(n, 1)
 
 
+class HomotopySchedule(NamedTuple):
+    """Homotopy stages + DDP polish as DATA (one row per solver stage).
+
+    All leaves are arrays of one static length L, so two solves with
+    different schedules of the same L (e.g. bench.py's warm-start solve and
+    its per-tick re-solve) share ONE compiled program — the solver body is
+    the dominant XLA compile cost (VERDICT r2 item 2). Rows:
+
+    - FDDP stage: ddp=False, th_stop/smooth annealed, maxiter > 0
+    - DDP polish: ddp=True (runs only for still-infeasible candidates)
+    - padding:    ddp=True with maxiter=0 — an exact no-op on the carry
+    """
+
+    smooth: jnp.ndarray    # (L,) squash smoothness per stage
+    th_stop: jnp.ndarray   # (L,) stage convergence tolerance
+    ddp: jnp.ndarray       # (L,) bool: plain-DDP stage (the polish)
+    phase: jnp.ndarray     # (L,) int8 telemetry label (-2 = polish, -1 = pad)
+    maxiter: jnp.ndarray   # (L,) int32 per-stage iteration budget
+
+    @classmethod
+    def from_settings(cls, settings: "SbFddpSettings", maxiter, n_pad: int = 0,
+                      dtype=jnp.float32) -> "HomotopySchedule":
+        """The reference schedule (src/sbfddp.cpp:205-219): n_stages FDDP
+        stages with annealed (smooth, th_stop), then the plain-DDP polish at
+        the final smoothness, then ``n_pad`` no-op rows."""
+        n = settings.n_stages
+        final_smooth = settings.smooth_init * settings.smooth_mult ** (n - 1)
+        smooth = [settings.smooth_init * settings.smooth_mult ** k
+                  for k in range(n)] + [final_smooth] * (1 + n_pad)
+        th = [settings.convergence_init * settings.convergence_mult ** k
+              for k in range(n)] + [settings.convergence_stop] * (1 + n_pad)
+        ddp = [False] * n + [True] * (1 + n_pad)
+        phase = list(range(n)) + [-2] + [-1] * n_pad
+        # maxiter may be a traced scalar (one jit program, varying budgets)
+        mi = jnp.concatenate([jnp.full((n + 1,), maxiter, jnp.int32),
+                              jnp.zeros((n_pad,), jnp.int32)])
+        return cls(smooth=jnp.asarray(np.array(smooth), dtype),
+                   th_stop=jnp.asarray(np.array(th), dtype),
+                   ddp=jnp.asarray(np.array(ddp)),
+                   phase=jnp.asarray(np.array(phase), jnp.int8),
+                   maxiter=mi)
+
+
 class SbFddpResult(NamedTuple):
     xs: jnp.ndarray
     us: jnp.ndarray           # pre-squash controls (the solver's decision vars)
@@ -90,11 +133,17 @@ def _set_homotopy(spec, params: P.ProblemParams, smooth) -> P.ProblemParams:
 @P.highest_matmul
 def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
           us_init=None, maxiter: int = 100, feasible: bool = False,
-          settings: Optional[SbFddpSettings] = None) -> SbFddpResult:
+          settings: Optional[SbFddpSettings] = None,
+          schedule: Optional[HomotopySchedule] = None) -> SbFddpResult:
     """SbFDDP solve (reference SolverSbFDDP::solve, src/sbfddp.cpp:192-226).
 
     Jit-friendly: wrap in ``jax.jit`` with (spec, maxiter, settings) static
     and vmap over ``params``/initial candidates for scenario batches.
+
+    ``schedule`` (a :class:`HomotopySchedule`) overrides the homotopy stage
+    layout with TRACED data — pass it as a jit argument and one compiled
+    program serves any stage schedule of the same length (e.g. the
+    warm-start solve and the per-tick MPC re-solve).
     """
     settings = settings or SbFddpSettings()
     params = P.as_device(params)
@@ -106,38 +155,29 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     dtype = xs_init.dtype
     record = settings.solver.record_trace
     maxiter_static = int(maxiter) if record else None
-    maxiter_arr = jnp.asarray(maxiter, jnp.int32)
-    n_stages = settings.n_stages
-    final_smooth = settings.smooth_init * settings.smooth_mult ** (n_stages - 1)
+    if schedule is None:
+        schedule = HomotopySchedule.from_settings(settings, maxiter, dtype=dtype)
+    schedule = schedule._replace(smooth=schedule.smooth.astype(dtype),
+                                 th_stop=schedule.th_stop.astype(dtype))
 
-    # Homotopy schedule + DDP polish as ONE lax.scan: the FDDP/DDP
-    # differences inside solve_fddp_or_ddp are data (traced ``ddp`` flag),
-    # so the whole SbFDDP solve contains exactly ONE solver body — XLA
-    # compile time is dominated by solver-body instantiations (was
-    # n_stages + 1 of them). Schedule rows: n_stages FDDP stages with
-    # annealed (smooth, th_stop), then the plain-DDP polish at the final
-    # smoothness (reference loop at src/sbfddp.cpp:205-219).
-    smooth_k = np.array([settings.smooth_init * settings.smooth_mult ** k
-                         for k in range(n_stages)] + [final_smooth])
-    th_stop_k = np.array([settings.convergence_init * settings.convergence_mult ** k
-                          for k in range(n_stages)] + [settings.convergence_stop])
-    ddp_k = np.array([False] * n_stages + [True])
-    phase_k = np.array(list(range(n_stages)) + [-2], dtype=np.int8)
-
-    def stage(carry, inp):
+    # Homotopy stages + DDP polish as ONE lax.scan: the FDDP/DDP differences
+    # inside solve_fddp_or_ddp are data (traced ``ddp`` flag), so the whole
+    # SbFDDP solve contains exactly ONE solver body — XLA compile time is
+    # dominated by solver-body instantiations (reference loop at
+    # src/sbfddp.cpp:205-219).
+    def stage(carry, row):
         xs, us, feas, iters, failed = carry
-        smooth, th_stop, ddp, phase = inp
-        params_k = _set_homotopy(spec, params, smooth.astype(dtype))
+        params_k = _set_homotopy(spec, params, row.smooth)
         # the polish runs only for still-infeasible candidates
         # (src/sbfddp.cpp:217-219); masked per element, so a feasible batch
         # element keeps its candidate (maxiter 0 leaves the state untouched)
-        maxiter_k = jnp.where(ddp & feas, 0, maxiter_arr)
-        feas_in = jnp.where(ddp, feas, False)
+        maxiter_k = jnp.where(row.ddp & feas, 0, row.maxiter)
+        feas_in = jnp.where(row.ddp, feas, False)
         res = fddp.solve_fddp_or_ddp(
             spec, settings.solver, params_k, xs, us, maxiter_k,
-            th_stop.astype(dtype), settings.reg_init, feas_in, ddp=ddp,
-            trace_len=maxiter_static, phase_id=phase)
-        feas_new = jnp.where(ddp, feas | res.feasible, res.feasible)
+            row.th_stop, settings.reg_init, feas_in, ddp=row.ddp,
+            trace_len=maxiter_static, phase_id=row.phase)
+        feas_new = jnp.where(row.ddp, feas | res.feasible, res.feasible)
         carry = (res.xs, res.us, feas_new, iters + res.iters,
                  failed | res.failed)
         return carry, (res.cost, res.trace)
@@ -145,11 +185,10 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     init = (xs_init, us_init, jnp.asarray(feasible),
             jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     (xs, us, feas_out, total_iters, failed), (costs, traces) = jax.lax.scan(
-        stage, init,
-        (jnp.asarray(smooth_k, dtype), jnp.asarray(th_stop_k, dtype),
-         jnp.asarray(ddp_k), jnp.asarray(phase_k)))
+        stage, init, schedule)
     cost = costs[-1]
 
+    final_smooth = schedule.smooth[-1]
     params = _set_homotopy(spec, params, final_smooth)
     us_squash = P.squashed_controls(spec, params, us)
     trace = None

@@ -36,6 +36,27 @@ class TestMesh:
         sh = bp.x0.sharding
         assert sh.is_equivalent_to(batch_sharding(mesh), bp.x0.ndim)
 
+    def test_shard_batch_replicates_divisible_non_batch_leaf(self):
+        """A horizon-shaped (24, 3) leaf is divisible by the 8-device mesh
+        but is NOT the batch — it must be replicated, not axis-0 sharded
+        (the silent mis-sharding pinned by VERDICT r2 item 8)."""
+        mesh = make_mesh()
+        tree = {"x0": jnp.zeros((16, 13)), "horizon": jnp.zeros((24, 3)),
+                "scalar": jnp.zeros(())}
+        out = shard_batch(mesh, tree, batch_size=16)
+        assert out["x0"].sharding.is_equivalent_to(batch_sharding(mesh), 2)
+        assert out["horizon"].sharding.is_fully_replicated
+        # inferred batch (largest leading axis) also picks 24 here — the
+        # explicit contract is what prevents the false positive
+        out2 = shard_batch(mesh, tree)
+        assert out2["horizon"].sharding.is_equivalent_to(batch_sharding(mesh), 2)
+        assert out2["x0"].sharding.is_fully_replicated
+
+    def test_shard_batch_rejects_indivisible_batch(self):
+        mesh = make_mesh()
+        with pytest.raises(ValueError):
+            shard_batch(mesh, {"x0": jnp.zeros((10, 3))}, batch_size=10)
+
 
 class TestBatchedSolve:
     def test_sharded_matches_unsharded(self, small_problem):
