@@ -299,6 +299,50 @@ class DynamicsNp:
         v_f = vel[b] + np.cross(w[b], p_f - pw[b])
         return np.concatenate([R_f.T @ v_f, R_f.T @ w[b]])
 
+    # contact dynamics (independent formulations of the rbd.py kernels) ----
+    def frame_jacobian_local(self, q, frame_id):
+        """J (6, nv) by columns — the frame twist is linear in v."""
+        J = np.zeros((6, self.nv))
+        for i in range(self.nv):
+            e = np.zeros(self.nv)
+            e[i] = 1.0
+            J[:, i] = self.frame_velocity_local(q, e, frame_id)
+        return J
+
+    def frame_accel_drift(self, q, v, frame_id, eps=1e-6):
+        """Jdot v: central difference of the body-frame twist along the
+        configuration flow (rbd.frame_accel_drift uses a manifold jvp)."""
+        st = StateNp(self.model.nq, self.nv)
+        x = np.concatenate([q, v])
+        dx = np.concatenate([v * eps, np.zeros(self.nv)])
+        qp = st.integrate(x, dx)[: self.model.nq]
+        qm = st.integrate(x, -dx)[: self.model.nq]
+        return (self.frame_velocity_local(qp, v, frame_id)
+                - self.frame_velocity_local(qm, v, frame_id)) / (2 * eps)
+
+    def contact_fwd_dynamics_kkt(self, q, v, tau, J, a0, active):
+        """Constrained dynamics by the DENSE KKT system over the active rows
+
+            [[M, -Ja^T], [Ja, 0]] [a; lam_a] = [tau - b; -a0_a]
+
+        — deliberately not the masked Schur complement of
+        rbd.contact_fwd_dynamics, so the two can cross-check each other.
+        Returns (a, lam) with lam zero on inactive rows."""
+        M = self.mass_matrix(q)
+        b = self.rnea(q, v, np.zeros(self.nv))
+        idx = np.where(np.asarray(active) > 0.5)[0]
+        nv, nc = self.nv, len(idx)
+        lam = np.zeros(J.shape[0])
+        if nc == 0:
+            return np.linalg.solve(M, tau - b), lam
+        K = np.zeros((nv + nc, nv + nc))
+        K[:nv, :nv] = M
+        K[:nv, nv:] = -J[idx].T
+        K[nv:, :nv] = J[idx]
+        sol = np.linalg.solve(K, np.concatenate([tau - b, -a0[idx]]))
+        lam[idx] = sol[nv:]
+        return sol[:nv], lam
+
 
 def _rodrigues(axis, angle):
     W = hat(axis)
@@ -316,8 +360,6 @@ class OracleProblem:
     def __init__(self, spec, params):
         if spec.integrator != "euler":
             raise NotImplementedError("oracle supports the Euler integrator")
-        if spec.contacts:
-            raise NotImplementedError("oracle covers free-dynamics problems")
         self.spec = spec
         self.state = StateNp(spec.model.nq, spec.model.nv)
         self.dyn = DynamicsNp(spec.model)
@@ -333,6 +375,9 @@ class OracleProblem:
         self.s_lb = leaves(params.glob.s_lb)
         self.s_ub = leaves(params.glob.s_ub)
         self.smooth = float(params.glob.squash_smooth)
+        if spec.contacts:
+            self.contact_active = leaves(params.node.contact_active)
+            self.contact_refs = [leaves(r) for r in params.node.contact_refs]
 
     # -- squash / actuation --------------------------------------------------
     def squash(self, s):
@@ -348,8 +393,54 @@ class OracleProblem:
         n_rot = self.tau_f.shape[1]
         return np.concatenate([self.tau_f @ u[:n_rot], u[n_rot:]])
 
+    # -- contact-constrained dynamics ------------------------------------------
+    def _contact_rows(self, t, x):
+        """Stacked constraint rows at node t (mirrors problem._contact_rows:
+        LOCAL-frame point/spatial acceleration with Baumgarte terms)."""
+        st = self.state
+        q, v = x[: st.nq], x[st.nq :]
+        Js, a0s, acts = [], [], []
+        for ci, c in enumerate(self.spec.contacts):
+            J6 = self.dyn.frame_jacobian_local(q, c.frame_id)
+            drift = self.dyn.frame_accel_drift(q, v, c.frame_id)
+            vf = self.dyn.frame_velocity_local(q, v, c.frame_id)
+            p, R = self.dyn.frame_placement(q, c.frame_id)
+            ref = self.contact_refs[ci][t]
+            kp, kd = c.gains
+            if c.dim == 3:
+                a0 = (drift[:3] + np.cross(vf[3:], vf[:3])
+                      + kp * (R.T @ (p - ref[:3])) + kd * vf[:3])
+                Js.append(J6[:3])
+            else:
+                Rref = quat_to_rot(ref[3:7])
+                err = se3_log(Rref.T @ (p - ref[:3]),
+                              rot_to_quat_np(Rref.T @ R))
+                a0 = drift + kp * err + kd * vf
+                Js.append(J6)
+            a0s.append(a0)
+            acts.append(np.full(c.dim, self.contact_active[t, ci]))
+        return np.vstack(Js), np.concatenate(a0s), np.concatenate(acts)
+
+    def _fwd(self, t, x, tau):
+        """(a, lam): free or contact-constrained forward dynamics."""
+        st = self.state
+        q, v = x[: st.nq], x[st.nq :]
+        if not self.spec.contacts:
+            return self.dyn.fwd_dynamics(q, v, tau), np.zeros(0)
+        J, a0, active = self._contact_rows(t, x)
+        return self.dyn.contact_fwd_dynamics_kkt(q, v, tau, J, a0, active)
+
+    def _contact_force_local(self, t, x, s, contact_id):
+        _, lam = self._fwd(t, x, self._tau(s))
+        off = 0
+        for ci, c in enumerate(self.spec.contacts):
+            if ci == contact_id:
+                return lam[off : off + c.dim]
+            off += c.dim
+        raise KeyError(contact_id)
+
     # -- residuals / activations ---------------------------------------------
-    def _residual(self, slot, ref, x, s, terminal):
+    def _residual(self, slot, ref, x, s, terminal, t=0):
         st = self.state
         k = slot.kind
         if k == "state":
@@ -358,6 +449,14 @@ class OracleProblem:
             if terminal:
                 return np.zeros(slot.nr)
             return s - ref
+        if k == "friction_cone":
+            if terminal or not self.spec.contacts or slot.contact_id < 0:
+                return np.zeros(slot.nr)
+            f_local = self._contact_force_local(t, x, s, slot.contact_id)
+            _, R = self.dyn.frame_placement(
+                x[: st.nq], self.spec.contacts[slot.contact_id].frame_id)
+            A = np.asarray(slot.cone_A, dtype=np.float64)
+            return A @ (R @ f_local[:3])
         q = x[:st.nq]
         if k == "frame_translation":
             p, _ = self.dyn.frame_placement(q, slot.frame_id)
@@ -394,17 +493,18 @@ class OracleProblem:
             wk = self.weight[t, k] * self.active[t, k]
             if wk == 0.0:
                 continue
-            r = self._residual(slot, self.refs[k][t], x, s, terminal)
+            r = self._residual(slot, self.refs[k][t], x, s, terminal, t)
             total += wk * self._activation(slot.activation, r,
                                            self.act_w[k], self.lb[k], self.ub[k])
         return total
 
     # -- node evaluation -------------------------------------------------------
     def node_calc(self, t, x, s):
-        """(xnext, cost): symplectic Euler, cost quadrature dt * l(x, s)."""
+        """(xnext, cost): symplectic Euler, cost quadrature dt * l(x, s).
+        Contact nodes use the dense-KKT constrained dynamics."""
         st = self.state
         dt = self.spec.dt
-        a = self.dyn.fwd_dynamics(x[:st.nq], x[st.nq:], self._tau(s))
+        a, _ = self._fwd(t, x, self._tau(s))
         v = x[st.nq:]
         vnext = v + a * dt
         dx = np.concatenate([vnext * dt, a * dt])
@@ -452,13 +552,13 @@ class OracleProblem:
             wk = dtc * self.weight[t, k] * self.active[t, k]
             if wk == 0.0:
                 continue
-            r0 = self._residual(slot, self.refs[k][t], x, s, False)
+            r0 = self._residual(slot, self.refs[k][t], x, s, False, t)
             Jr = np.zeros((slot.nr, ndx + nu))
             for i in range(ndx + nu):
                 xp, sp = perturbed(i, eps)
                 xm, sm = perturbed(i, -eps)
-                rp = self._residual(slot, self.refs[k][t], xp, sp, False)
-                rm = self._residual(slot, self.refs[k][t], xm, sm, False)
+                rp = self._residual(slot, self.refs[k][t], xp, sp, False, t)
+                rm = self._residual(slot, self.refs[k][t], xm, sm, False, t)
                 Jr[:, i] = (rp - rm) / (2 * eps)
             a, Ar, Arr = self._act_derivs(slot.activation, r0, k)
             cost += wk * a
@@ -486,10 +586,10 @@ class OracleProblem:
                 dz = np.zeros(ndx)
                 dz[i] = eps
                 rp = self._residual(slot, self.refs[k][t],
-                                    self.state.integrate(x, dz), s0, True)
+                                    self.state.integrate(x, dz), s0, True, t)
                 dz[i] = -eps
                 rm = self._residual(slot, self.refs[k][t],
-                                    self.state.integrate(x, dz), s0, True)
+                                    self.state.integrate(x, dz), s0, True, t)
                 Jr[:, i] = (rp - rm) / (2 * eps)
             a, Ar, Arr = self._act_derivs(slot.activation, r0, k)
             cost += wk * a

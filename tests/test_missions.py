@@ -89,6 +89,32 @@ class TestCorpusSolves:
         lb, ub = np.asarray(params.glob.s_lb), np.asarray(params.glob.s_ub)
         assert np.all(u >= lb - 1e-9) and np.all(u <= ub + 1e-9)
 
+    def test_rk4_mission_solves_to_target(self):
+        """RK4 as a first-class mission integrator, end-to-end (reference
+        IntegratedActionModelRK4 selection, src/factory/int-action.cpp:24-36;
+        node-derivative parity is covered by tests/test_problem.py — this
+        pins the full solve path)."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(traj, dt_ms=60, use_squash=True,
+                                         integrator="IntegratedActionModelRK4")
+        assert spec.integrator == P.RK4
+        res = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=100))(params)
+        assert bool(res.feasible) and not bool(res.failed)
+        xT = np.asarray(res.xs[-1])
+        np.testing.assert_allclose(xT[:3], [0.0, 0.0, 2.5], atol=0.08)
+        u = np.asarray(res.us_squash)
+        lb, ub = np.asarray(params.glob.s_lb), np.asarray(params.glob.s_ub)
+        assert np.all(u >= lb - 1e-9) and np.all(u <= ub + 1e-9)
+        # RK4 at the same dt must agree with Euler on the terminal state
+        # (same physics, higher-order quadrature)
+        spec_e, params_e = P.from_trajectory(
+            traj, dt_ms=60, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        res_e = jax.jit(lambda p: sbfddp.solve(spec_e, p, maxiter=100))(params_e)
+        np.testing.assert_allclose(xT[:3], np.asarray(res_e.xs[-1])[:3],
+                                   atol=0.05)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

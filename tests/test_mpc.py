@@ -202,6 +202,45 @@ class TestBoxSolvers:
         xT = np.asarray(res.xs[-1])
         np.testing.assert_allclose(xT[:3], [0, 0, 2.5], atol=0.1)
 
+    def test_box_fddp_closed_loop_via_mpc_yaml(self, iris_setup):
+        """Closed-loop carrot MPC driving SolverBoxFDDP selected through the
+        mpc.yaml solver key — the dispatch at mpc/base.py (reference
+        selection at src/mpc-controllers/carrot-mpc.cpp:232-242). The spec
+        is built WITHOUT the squash/barrier slot; bounds are enforced by the
+        projected-QP backward pass + clamped rollouts."""
+        import dataclasses
+
+        traj, mp, xs, us = iris_setup
+        mp_box = dataclasses.replace(mp, solver="SolverBoxFDDP", iters=3)
+        ctrl = CarrotMpc(mpc_params=mp_box, trajectory=traj, state_ref=xs,
+                         dt_ref=DT)
+        assert not ctrl.use_squash
+        assert "barrier" not in [s.name for s in ctrl.spec.slots]
+        T = ctrl.spec.T
+        pad = T + 1 - xs.shape[0]
+        xs_w = jnp.asarray(np.vstack([xs, np.tile(xs[-1], (pad, 1))]))
+        # warm-start controls at hover thrust (box solvers consume RAW
+        # controls — the offline us are pre-squash decision variables)
+        m = float(mp.model.inertia[0][0, 0])
+        us_w = jnp.full((T, ctrl.spec.nu), m * 9.81 / mp.platform.nu,
+                        dtype=xs_w.dtype)
+        sim = AerialSimulator.from_platform(mp.model, mp.platform, dt_ms=10)
+        n = 20
+        out = jax.jit(lambda x0, a, b: run_closed_loop(
+            ctrl, sim, x0, a, b, n_steps=n, dt_sim_ms=10.0))(
+            jnp.asarray(xs[0]), xs_w, us_w)
+        states = np.asarray(out.states)
+        assert np.all(np.isfinite(states))
+        # bounds hold on every applied control
+        u = np.asarray(out.controls)
+        lb = np.asarray(ctrl.params0.glob.s_lb)
+        ub = np.asarray(ctrl.params0.glob.s_ub)
+        assert np.all(u >= lb - 1e-9) and np.all(u <= ub + 1e-9)
+        # coarse tracking: the plant climbs along the hover mission
+        z = states[:, 2]
+        assert z[-1] > z[0] and z[-1] > 0.1
+        assert np.all(np.asarray(out.solve_iters) <= 3)
+
     def test_boxqp_matches_active_set(self):
         """BoxQP vs brute-force active-set enumeration on random QPs."""
         rng = np.random.default_rng(3)

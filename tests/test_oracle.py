@@ -286,5 +286,125 @@ class TestFlagshipOracle:
         assert np.all(np.diff(costs_orc[:n]) < 0)
 
 
+class TestContactOracle:
+    """Contact-path redundancy (VERDICT r2 item 9): the masked Schur-
+    complement contact dynamics (rbd.contact_fwd_dynamics) and its node
+    integration vs the oracle's dense-KKT + FD formulation, on the actual
+    contact missions (monkey_bar 3-D gripper contact, eagle_catch with the
+    friction-cone cost)."""
+
+    @pytest.fixture(scope="class")
+    def monkey_bar(self):
+        traj = specs.load_trajectory(
+            "hexacopter370_flying_arm_3/trajectories/monkey_bar.yaml",
+            yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(traj, dt_ms=40, use_squash=True,
+                                         integrator="IntegratedActionModelEuler")
+        return spec, params
+
+    @pytest.fixture(scope="class")
+    def eagle_catch(self):
+        traj = specs.load_trajectory(
+            "hexacopter370_flying_arm_3/trajectories/eagle_catch.yaml",
+            yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(traj, dt_ms=50, use_squash=True,
+                                         integrator="IntegratedActionModelEuler")
+        return spec, params
+
+    def _rand_x(self, spec, rng, scale=0.1):
+        nq, nv = spec.model.nq, spec.model.nv
+        x = np.zeros(nq + nv)
+        x[6] = 1.0
+        x[:3] = rng.normal(size=3) * scale
+        x[3:7] = O.quat_exp(rng.normal(size=3) * scale)
+        x[7:nq] = rng.normal(size=nq - 7) * scale
+        x[nq:] = rng.normal(size=nv) * scale
+        return x
+
+    def test_constrained_dynamics_matches_kkt(self, monkey_bar):
+        """End-to-end (Jacobian + drift + Baumgarte + solve): rbd masked
+        Schur complement vs oracle dense KKT, active and inactive masks."""
+        spec, params = monkey_bar
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(7)
+        ca = np.asarray(params.node.contact_active)
+        t_on = int(np.where(ca[:, 0] == 1.0)[0][1])
+        t_off = int(np.where(ca[:, 0] == 0.0)[0][0])
+        pd = P.as_device(params)
+        for t in (t_on, t_off):
+            for _ in range(3):
+                x = self._rand_x(spec, rng)
+                s = rng.normal(size=spec.nu)
+                view = P.node_view(pd.node, t)
+                a_j, _, forces = P._dam(spec, view, pd.glob,
+                                        jnp.asarray(x), jnp.asarray(s))
+                a_o, lam_o = prob._fwd(t, x, prob._tau(s))
+                np.testing.assert_allclose(np.asarray(a_j), a_o,
+                                           rtol=1e-6, atol=1e-7)
+                if t == t_on:
+                    np.testing.assert_allclose(np.asarray(forces[0]),
+                                               lam_o[:3], rtol=1e-6, atol=1e-7)
+                else:
+                    np.testing.assert_allclose(lam_o, 0.0, atol=1e-12)
+
+    def test_contact_node_calc_matches(self, monkey_bar):
+        spec, params = monkey_bar
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(8)
+        pd = P.as_device(params)
+        ca = np.asarray(params.node.contact_active)
+        t_on = int(np.where(ca[:, 0] == 1.0)[0][2])
+        for t in (0, t_on, spec.T - 1):
+            x = self._rand_x(spec, rng, scale=0.05)
+            s = rng.normal(size=spec.nu)
+            xn_o, c_o = prob.node_calc(t, x, s)
+            xn_j, c_j, _ = P.node_calc(spec, P.node_view(pd.node, t), pd.glob,
+                                       jnp.asarray(x), jnp.asarray(s))
+            np.testing.assert_allclose(np.asarray(xn_j), xn_o, atol=1e-9)
+            np.testing.assert_allclose(float(c_j), c_o, rtol=1e-8)
+
+    def test_contact_node_derivatives_match(self, monkey_bar):
+        """FD (through the dense KKT) vs autodiff (through the masked Schur
+        complement) at a contact node."""
+        spec, params = monkey_bar
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(9)
+        pd = P.as_device(params)
+        ca = np.asarray(params.node.contact_active)
+        t = int(np.where(ca[:, 0] == 1.0)[0][3])
+        x = self._rand_x(spec, rng, scale=0.05)
+        s = rng.normal(size=spec.nu)
+        d_o = prob.node_calc_diff(t, x, s)
+        d_j = P.node_calc_diff(spec, P.node_view(pd.node, t), pd.glob,
+                               jnp.asarray(x), jnp.asarray(s))
+        np.testing.assert_allclose(d_o["Fx"], np.asarray(d_j.Fx), atol=2e-5)
+        np.testing.assert_allclose(d_o["Fu"], np.asarray(d_j.Fu), atol=2e-5)
+        np.testing.assert_allclose(d_o["Lx"], np.asarray(d_j.Lx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(d_o["Lu"], np.asarray(d_j.Lu),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_eagle_catch_cone_cost_matches(self, eagle_catch):
+        """Friction-cone residual through forces: oracle recomputes lam via
+        the dense KKT and the world rotation independently."""
+        spec, params = eagle_catch
+        prob = O.OracleProblem(spec, params)
+        rng = np.random.default_rng(10)
+        pd = P.as_device(params)
+        ca = np.asarray(params.node.contact_active)
+        nodes = np.where(ca[:, 0] == 1.0)[0]
+        t = int(nodes[len(nodes) // 2])
+        cone_k = [k for k, sl in enumerate(spec.slots)
+                  if sl.kind == "friction_cone"][0]
+        assert float(np.asarray(params.node.active)[t, cone_k]) == 1.0
+        for _ in range(3):
+            x = self._rand_x(spec, rng, scale=0.05)
+            s = rng.normal(size=spec.nu)
+            _, c_j, _ = P.node_calc(spec, P.node_view(pd.node, t), pd.glob,
+                                    jnp.asarray(x), jnp.asarray(s))
+            c_o = prob.spec.dt * prob.point_cost(t, x, s, False)
+            np.testing.assert_allclose(float(c_j), c_o, rtol=1e-8)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
