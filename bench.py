@@ -89,7 +89,8 @@ def _load_ref(traj, synthetic: bool):
 
 def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
                    t0_ms: float = T0_DEFAULT, synthetic_ref: bool = False,
-                   parallel_riccati: bool = False) -> Workload:
+                   parallel_riccati: bool = False,
+                   scan_unroll: int = 1) -> Workload:
     """Build the flagship closed-loop chunk program + its argument sets.
 
     Shared by bench.py and tools/compile_bench.py. jax must already be
@@ -123,7 +124,8 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
     m = float(mp.model.inertia[0][0, 0])
     hover = m * 9.81 / mp.platform.n_rotors
 
-    solver_settings = fddp.SolverSettings(parallel_riccati=parallel_riccati)
+    solver_settings = fddp.SolverSettings(parallel_riccati=parallel_riccati,
+                                          scan_unroll=scan_unroll)
     settings = sbfddp.SbFddpSettings(solver=solver_settings)
 
     # ONE schedule length L = 3 serves both phases (VERDICT r2 item 2):
@@ -206,7 +208,8 @@ def run_one(args, batch):
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     wl = build_workload(batch, args.ticks, args.dtype,
                         t0_ms=args.t0, synthetic_ref=args.synthetic_ref,
-                        parallel_riccati=args.priccati)
+                        parallel_riccati=args.priccati,
+                        scan_unroll=args.unroll)
     K = args.ticks
 
     # AOT staging: trace / lower / XLA-compile measured separately so
@@ -285,6 +288,8 @@ def main():
     ap.add_argument("--priccati", action="store_true",
                     help="associative-scan (parallel-in-time) Riccati pass")
     ap.add_argument("--no-assert", action="store_true")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the horizon scans")
     ap.add_argument("--sweep", default=None,
                     help="comma-separated batch sizes; prints a solves/s-vs-"
                          "batch table instead of the single JSON metric")
