@@ -175,6 +175,39 @@ class TestClosedLoop:
         assert np.all(np.asarray(out.solve_iters) <= 2 * 2)  # iters<=2/stage
 
 
+class TestRk4ClosedLoop:
+    def test_carrot_tracks_with_rk4_nodes(self, iris_setup):
+        """Closed-loop carrot MPC with IntegratedActionModelRK4 selected
+        through the mpc config (reference int-action factory,
+        src/factory/int-action.cpp:24-36) — the controller problem uses RK4
+        nodes end-to-end, not just the node-derivative test."""
+        import dataclasses
+
+        traj, mp, xs, us = iris_setup
+        mp_rk4 = dataclasses.replace(
+            mp, integration_method="IntegratedActionModelRK4")
+        ctrl = CarrotMpc(mpc_params=mp_rk4, trajectory=traj, state_ref=xs,
+                         dt_ref=DT)
+        assert ctrl.spec.integrator == P.RK4
+        T = ctrl.spec.T
+        pad = T + 1 - xs.shape[0]
+        xs_w = jnp.asarray(np.vstack([xs, np.tile(xs[-1], (pad, 1))]))
+        us_w = jnp.asarray(np.vstack([us, np.tile(us[-1], (pad, 1))]))[:T]
+        sim = AerialSimulator.from_platform(mp.model, mp.platform, dt_ms=10)
+        n = 12
+        out = jax.jit(lambda x0, a, b: run_closed_loop(
+            ctrl, sim, x0, a, b, n_steps=n, dt_sim_ms=10.0))(
+            jnp.asarray(xs[0]), xs_w, us_w)
+        states = np.asarray(out.states)
+        assert np.all(np.isfinite(states))
+        z = states[:, 2]
+        assert z[-1] > z[0]  # climbs along the hover mission
+        u = np.asarray(out.controls)
+        lb = np.asarray(ctrl.params0.glob.s_lb)
+        ub = np.asarray(ctrl.params0.glob.s_ub)
+        assert np.all(u >= lb - 1e-9) and np.all(u <= ub + 1e-9)
+
+
 class TestBoxSolvers:
     @pytest.fixture(scope="class")
     def hover_nosquash(self):
