@@ -90,7 +90,8 @@ def _load_ref(traj, synthetic: bool):
 def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
                    t0_ms: float = T0_DEFAULT, synthetic_ref: bool = False,
                    parallel_riccati: bool = False,
-                   scan_unroll: int = 1) -> Workload:
+                   scan_unroll: int = 1,
+                   pallas_backward: bool = False) -> Workload:
     """Build the flagship closed-loop chunk program + its argument sets.
 
     Shared by bench.py and tools/compile_bench.py. jax must already be
@@ -125,7 +126,8 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
     hover = m * 9.81 / mp.platform.n_rotors
 
     solver_settings = fddp.SolverSettings(parallel_riccati=parallel_riccati,
-                                          scan_unroll=scan_unroll)
+                                          scan_unroll=scan_unroll,
+                                          pallas_backward=pallas_backward)
     settings = sbfddp.SbFddpSettings(solver=solver_settings)
 
     # ONE schedule length L = 3 serves both phases (VERDICT r2 item 2):
@@ -209,7 +211,8 @@ def run_one(args, batch):
     wl = build_workload(batch, args.ticks, args.dtype,
                         t0_ms=args.t0, synthetic_ref=args.synthetic_ref,
                         parallel_riccati=args.priccati,
-                        scan_unroll=args.unroll)
+                        scan_unroll=args.unroll,
+                        pallas_backward=args.pallas)
     K = args.ticks
 
     # AOT staging: trace / lower / XLA-compile measured separately so
@@ -285,6 +288,9 @@ def main():
     ap.add_argument("--synthetic-ref", action="store_true",
                     help="track the old synthetic glide instead of the "
                          "cached offline solve")
+    ap.add_argument("--pallas", action="store_true",
+                    help="fuse the Riccati backward pass into one Pallas "
+                         "kernel (ops/riccati_pallas.py)")
     ap.add_argument("--priccati", action="store_true",
                     help="associative-scan (parallel-in-time) Riccati pass")
     ap.add_argument("--no-assert", action="store_true")

@@ -56,6 +56,9 @@ class SolverSettings:
                                   # (TPU: amortizes per-step dispatch latency)
     parallel_riccati: bool = False  # associative-scan backward pass
                                     # (O(log T) depth; see solvers/priccati.py)
+    pallas_backward: bool = False   # fuse the Riccati recursion into ONE
+                                    # batch-in-lanes Pallas kernel under vmap
+                                    # (ops/riccati_pallas.py; non-box only)
     record_trace: bool = False    # return per-iteration IterTrace telemetry
 
     # --- deviation switches (default = this solver's robust semantics) ----
@@ -234,11 +237,13 @@ def _boxqp(H, q, lo, hi, x0, n_iters):
 
 
 def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
-                   box=None, unroll=1):
+                   box=None, unroll=1, use_pallas=False):
     """Riccati recursion. ``box=(us, lb, ub, qp_iters)`` switches the gain
     computation to the Box-DDP projected QP (crocoddyl SolverBoxDDP:
     feedforward from a BoxQP on the control bounds, feedback rows of the
-    clamped dimensions zeroed)."""
+    clamped dimensions zeroed). ``use_pallas`` routes the non-box recursion
+    through ops/riccati_pallas.scan_core — identical math, fused into one
+    VMEM-resident kernel when the solve is vmapped over a scenario batch."""
     ndx = spec.state.ndx
     nu = spec.nu
     _, LxT, LxxT = term
@@ -256,6 +261,18 @@ def _backward_pass(spec, derivs, term, fs, xreg, ureg, feasible,
 
     VxxT = LxxT + xreg * I_ndx
     VxT = LxT + jnp.where(feasible, 0.0, VxxT @ fs[-1])
+
+    if use_pallas and box is None:
+        from ..ops import riccati_pallas
+        k, K, Qu, Quuk, Vx_r, Vxx_r = riccati_pallas.scan_core(
+            derivs.Fx, derivs.Fu, derivs.Lx, derivs.Lu,
+            derivs.Lxx, derivs.Lxu, derivs.Luu, fs[:-1],
+            VxT, VxxT, xreg, ureg, feasible)
+        Vx = jnp.concatenate([Vx_r, VxT[None]], axis=0)
+        Vxx = jnp.concatenate([Vxx_r, VxxT[None]], axis=0)
+        ok = (jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+              & jnp.all(jnp.isfinite(Vx)))
+        return BackwardPassData(k, K, Qu, Quuk, Vx, Vxx, ok)
 
     def step(carry, inp):
         Vx, Vxx = carry
@@ -320,7 +337,8 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
     else:
         def run_bp(xr, ur):
             return _backward_pass(spec, derivs, term, fs, xr, ur, feasible,
-                                  box_info, unroll=settings.scan_unroll)
+                                  box_info, unroll=settings.scan_unroll,
+                                  use_pallas=settings.pallas_backward)
 
     # non-finite DERIVATIVES cannot be fixed by regularization — escalating
     # through the whole 1e-9..1e9 ladder (18 full backward re-runs, paid by
