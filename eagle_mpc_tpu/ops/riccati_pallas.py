@@ -1,13 +1,16 @@
-"""Pallas-fused Riccati backward pass (TPU kernel for the solver hot loop).
+"""Pallas-fused Riccati backward pass (batch-in-lanes TPU kernel).
 
-Why this exists — the measured ceiling (BASELINE.md "chip ceiling"): at
-B=512 the flagship tick is op-issue-bound, not FLOPs-bound. The XLA
-backward pass is a `lax.scan` whose step body is thousands of tiny
-(18x18)/(9x9) ops vectorized over the batch; every one of them pays a
-fixed issue/launch overhead and sub-tile padding, and at <0.1% MFU those
-overheads ARE the runtime. The fix this module implements is the one the
-saturation analysis called for: collapse the whole recursion into ONE
-VMEM-resident kernel.
+Why this exists — the round-2 ceiling analysis hypothesized the batched
+tick was op-issue-bound on the backward recursion's small operands, and
+that fusing the whole recursion into one VMEM-resident kernel was the
+path past it. This module is that kernel. **The hypothesis was then
+refuted by measurement** (BASELINE.md "pallas_backward knob verdict"):
+because the solver keeps the batch axis leading and dense, XLA lowers
+the scan's (B, 18, 18) products onto the MXU as batched GEMMs at ~20 %
+MFU — 0.094 ms per backward pass at B=512, vs 23.9 ms for this kernel's
+VPU lane-batched formulation (VPU peak is ~25x below MXU f32 peak). The
+kernel is kept, default-off, as the validated scaffold for op shapes
+where XLA's batched-GEMM lowering does fall off the MXU.
 
 Layout: **batch in lanes**. Every Riccati operand is transposed to
 batch-LAST, so a matrix element like `Vxx[i, k]` is a (BT,)-lane vector
@@ -68,12 +71,6 @@ def _interpret() -> bool:
 # unrolled over the static matrix dims, each statement a full-tile FMA
 # ---------------------------------------------------------------------------
 
-def _mm(A, B):
-    """(n, p, BT) @ (p, m, BT) -> (n, m, BT)."""
-    acc = A[:, 0][:, None, :] * B[0][None, :, :]
-    for j in range(1, A.shape[1]):
-        acc = acc + A[:, j][:, None, :] * B[j][None, :, :]
-    return acc
 
 
 def _mTm(A, B):
@@ -92,18 +89,8 @@ def _mTv(A, v):
     return acc
 
 
-def _mv(A, v):
-    """(n, m, BT) (m, BT) -> (n, BT)."""
-    acc = A[:, 0] * v[0]
-    for k in range(1, A.shape[1]):
-        acc = acc + A[:, k] * v[k]
-    return acc
 
 
-def _t(M):
-    """Leading-dims transpose of (n, m, BT) -> (m, n, BT) via static slices
-    (no lane/sublane relayout: each row stays a contiguous (n, BT) tile)."""
-    return jnp.stack([M[:, a] for a in range(M.shape[1])], axis=0)
 
 
 def _chol_rows(M, n: int) -> List[List]:
@@ -164,10 +151,14 @@ def _chol_solve_mat(L, B):
 # the kernel: one grid step = one node of the recursion for one batch tile
 # ---------------------------------------------------------------------------
 
-def _node_kernel(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, f, VxT, VxxT,
+def _node_kernel(Fx, Fu, Lx, Lu, Lxx, LxuT, Luu, f, VxT, VxxT,
                  xreg, ureg, infeas,
                  k_o, K_o, Qu_o, Quuk_o, Vx_o, Vxx_o,
                  Vx_s, Vxx_s, *, nu: int, ndx: int, rel_eps: float):
+    """Every contraction below indexes ONLY leading (non-tiled) dims —
+    middle-dim slices like ``A[:, j]`` force sublane-strided relayouts in
+    Mosaic (measured 300x slowdown in the first version of this kernel) —
+    exploiting symmetry of Vxx/Quu/Lxx and taking Lxu pre-transposed."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -176,13 +167,13 @@ def _node_kernel(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, f, VxT, VxxT,
         Vxx_s[...] = VxxT[...]
 
     Vx = Vx_s[...]            # (ndx, BT)
-    Vxx = Vxx_s[...]          # (ndx, ndx, BT)
+    Vxx = Vxx_s[...]          # (ndx, ndx, BT), symmetric
     fx = Fx[...][0]           # (ndx, ndx, BT)
     fu = Fu[...][0]           # (ndx, nu, BT)
     lx = Lx[...][0]
     lu = Lu[...][0]
-    lxx = Lxx[...][0]
-    lxu = Lxu[...][0]
+    lxx = Lxx[...][0]         # symmetric
+    lxuT = LxuT[...][0]       # (nu, ndx, BT) — pre-transposed outside
     luu = Luu[...][0]
     gap = f[...][0]           # (ndx, BT)
     xr = xreg[...]            # (BT,)
@@ -193,14 +184,13 @@ def _node_kernel(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, f, VxT, VxxT,
     eye_x = jnp.eye(ndx, dtype=dtype)[:, :, None]
     eye_u = jnp.eye(nu, dtype=dtype)[:, :, None]
 
-    FxTV = _mTm(fx, Vxx)                      # (ndx, ndx, BT)
-    FuTV = _mTm(fu, Vxx)                      # (nu, ndx, BT)
+    VFx = _mTm(Vxx, fx)                       # V^T Fx = V Fx   (ndx, ndx, BT)
+    VFu = _mTm(Vxx, fu)                       # V Fu            (ndx, nu, BT)
     Qx = lx + _mTv(fx, Vx)                    # (ndx, BT)
     Qu = lu + _mTv(fu, Vx)                    # (nu, BT)
-    Qxx = lxx + _mm(FxTV, fx)                 # (ndx, ndx, BT)
-    # Vxx is symmetric by construction, so Qxu^T == Lxu^T + Fu^T V Fx
-    Qux = _t(lxu) + _mm(FuTV, fx)             # (nu, ndx, BT)
-    Quu_raw = luu + _mm(FuTV, fu)             # (nu, nu, BT)
+    Qxx = lxx + _mTm(VFx, fx)                 # Lxx + Fx^T V Fx (ndx, ndx, BT)
+    Qux = lxuT + _mTm(VFu, fx)                # Lxu^T + Fu^T V Fx (nu, ndx, BT)
+    Quu_raw = luu + _mTm(VFu, fu)             # (nu, nu, BT)
 
     diag = jnp.stack([Quu_raw[i, i] for i in range(nu)], axis=0)
     floor = rel_eps * jnp.max(jnp.abs(diag), axis=0)       # (BT,)
@@ -209,12 +199,14 @@ def _node_kernel(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, f, VxT, VxxT,
     L = _chol_rows(Quu, nu)
     k = _chol_solve_vec(L, Qu)                # (nu, BT)
     K = _chol_solve_mat(L, Qux)               # (nu, ndx, BT)
-    Quuk = _mv(Quu, k)                        # (nu, BT)
+    Quuk = _mTv(Quu, k)                       # Quu symmetric -> Quu @ k
 
     Vx_n = Qx + _mTv(K, Quuk) - 2.0 * _mTv(K, Qu)
-    S = Qxx - _mTm(Qux, K)                    # Qxx - Qxu @ K
-    Vxx_n = 0.5 * (S + _t(S)) + eye_x * xr
-    Vx_n = Vx_n + nf * _mv(Vxx_n, gap)
+    # Vxx_n = sym(Qxx - Qxu K) + xreg I, with both transposes built from
+    # leading-indexed contractions (Lxx and V are symmetric)
+    QxxT = lxx + _mTm(fx, VFx)
+    Vxx_n = 0.5 * (Qxx + QxxT - _mTm(Qux, K) - _mTm(K, Qux)) + eye_x * xr
+    Vx_n = Vx_n + nf * _mTv(Vxx_n, gap)       # Vxx_n symmetric
 
     k_o[...] = k[None]
     K_o[...] = K[None]
@@ -249,7 +241,8 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
 
     FxL = to_lanes(Fx, 2); FuL = to_lanes(Fu, 2)
     LxL = to_lanes(Lx, 1); LuL = to_lanes(Lu, 1)
-    LxxL = to_lanes(Lxx, 2); LxuL = to_lanes(Lxu, 2); LuuL = to_lanes(Luu, 2)
+    LxxL = to_lanes(Lxx, 2); LuuL = to_lanes(Luu, 2)
+    LxuTL = to_lanes(jnp.swapaxes(Lxu, 2, 3), 2)   # (T, nu, ndx, Bp)
     fsL = to_lanes(fs, 1)                          # (T, ndx, Bp)
     VxTL = to_lanes(VxT[:, None], 0)[0]            # (ndx, Bp)
     VxxTL = to_lanes(VxxT[:, None], 0)[0]          # (ndx, ndx, Bp)
@@ -270,7 +263,7 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
         pl.BlockSpec((1, ndx, BT), rev3),        # Lx
         pl.BlockSpec((1, nu, BT), rev3),         # Lu
         pl.BlockSpec((1, ndx, ndx, BT), rev),    # Lxx
-        pl.BlockSpec((1, ndx, nu, BT), rev),     # Lxu
+        pl.BlockSpec((1, nu, ndx, BT), rev),     # Lxu^T
         pl.BlockSpec((1, nu, nu, BT), rev),      # Luu
         pl.BlockSpec((1, ndx, BT), rev3),        # fs
         pl.BlockSpec((ndx, BT), term2),          # VxT
@@ -316,7 +309,7 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
         compiler_params=(pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
             if (pltpu is not None and not interpret) else None),
-    )(FxL, FuL, LxL, LuL, LxxL, LxuL, LuuL, fsL, VxTL, VxxTL, xrL, urL, nfL)
+    )(FxL, FuL, LxL, LuL, LxxL, LxuTL, LuuL, fsL, VxTL, VxxTL, xrL, urL, nfL)
 
     def from_lanes(x):  # (T, *dims, Bp) -> (B, T, *dims)
         return jnp.moveaxis(x[..., :B], -1, 0)
