@@ -95,13 +95,26 @@ class MpcAbstract:
 
     def solve(self, params: P.ProblemParams, xs, us, maxiter: Optional[int] = None,
               settings: Optional[sbfddp.SbFddpSettings] = None,
-              schedule: Optional[sbfddp.HomotopySchedule] = None):
+              schedule: Optional[sbfddp.HomotopySchedule] = None,
+              fixed: bool = False, n_alphas: Optional[int] = None):
         """One warm-started MPC solve. Jit/vmap-safe (wrap externally).
 
         ``schedule`` (traced homotopy rows) lets one compiled program serve
-        both the warm-start solve and the per-tick re-solve."""
+        both the warm-start solve and the per-tick re-solve (while-loop
+        solver only). ``fixed=True`` routes to the fixed-depth tick path
+        (:func:`sbfddp.solve_fixed` — no data-dependent while_loops; the
+        fast path for vmapped scenario batches; ``n_alphas`` truncates its
+        line-search ladder)."""
         maxiter = self.iters if maxiter is None else maxiter
         if self.solver_type == cspecs.SOLVER_SBFDDP:
+            if fixed:
+                if schedule is not None:
+                    raise ValueError("fixed=True uses a static stage layout; "
+                                     "schedule rows are a while-solver feature")
+                return sbfddp.solve_fixed(
+                    self.spec, params, xs, us, depth=int(maxiter),
+                    settings=settings or self.solver_settings(),
+                    n_alphas=n_alphas)
             return sbfddp.solve(self.spec, params, xs, us, maxiter=maxiter,
                                 settings=settings or self.solver_settings(),
                                 schedule=schedule)

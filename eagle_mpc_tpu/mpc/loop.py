@@ -32,14 +32,15 @@ class ClosedLoopResult(NamedTuple):
 def run_closed_loop(controller: base.MpcAbstract, simulator: AerialSimulator,
                     x0, xs_warm, us_warm, n_steps: int, dt_sim_ms: float,
                     maxiter: Optional[int] = None,
-                    settings: Optional[sbfddp.SbFddpSettings] = None
-                    ) -> ClosedLoopResult:
+                    settings: Optional[sbfddp.SbFddpSettings] = None,
+                    fixed: bool = False) -> ClosedLoopResult:
     """Jit/vmap-friendly closed-loop rollout.
 
     ``xs_warm/us_warm``: initial solver candidate (the offline solution's
     first T+1 states / T controls in the reference demo, mpc.py:39-41).
     One control is applied per sim tick of ``dt_sim_ms`` (the reference's
-    dtSimulator = 2 ms against a 30 ms node duration)."""
+    dtSimulator = 2 ms against a 30 ms node duration). ``fixed=True``
+    selects the fixed-depth tick solver (the TPU fast path)."""
     params0 = controller.params0
     settings = settings or controller.solver_settings()
 
@@ -48,7 +49,7 @@ def run_closed_loop(controller: base.MpcAbstract, simulator: AerialSimulator,
         t_ms = i * dt_sim_ms
         params = controller.update_problem(t_ms, params0._replace(x0=x))
         res = controller.solve(params, xs, us, maxiter=maxiter,
-                               settings=settings)
+                               settings=settings, fixed=fixed)
         u = res.us_squash[0]
         x_next = simulator.step(x, u)
         return (x_next, res.xs, res.us), (x_next, u, res.iters, res.cost)

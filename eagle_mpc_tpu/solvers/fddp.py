@@ -185,6 +185,26 @@ class _IterState(NamedTuple):
     trace: IterTrace         # 0-length arrays unless settings.record_trace
 
 
+def _check_priccati_backend(settings: SolverSettings) -> None:
+    """Refuse ``parallel_riccati`` on the TPU backend: the associative-scan
+    pass reproducibly crashes the TPU worker process (measured round 3,
+    BASELINE.md knob verdict) — a user-reachable hard fault, not a slow
+    path. CPU keeps the knob (pinned vs the sequential pass at 1e-8,
+    tests/test_priccati.py). Set EAGLE_MPC_TPU_ALLOW_PRICCATI=1 to
+    re-test after runtime upgrades."""
+    if not settings.parallel_riccati:
+        return
+    import os as _os
+    if _os.environ.get("EAGLE_MPC_TPU_ALLOW_PRICCATI") == "1":
+        return
+    if jax.default_backend() == "tpu":
+        raise RuntimeError(
+            "parallel_riccati=True crashes the TPU runtime (reproducible "
+            "worker fault, see BASELINE.md). Use the default sequential "
+            "backward pass on TPU, or set EAGLE_MPC_TPU_ALLOW_PRICCATI=1 "
+            "to override after a runtime upgrade.")
+
+
 # ---------------------------------------------------------------------------
 # Direction computation: derivatives, gaps, regularized Riccati recursion
 # ---------------------------------------------------------------------------
@@ -471,6 +491,7 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
     /root/reference/src/sbfddp.cpp:303-307. ``trace_len`` must then be
     static (defaults to ``int(maxiter)``); ``phase_id`` labels the rows
     (homotopy stage, or -2 for the DDP polish)."""
+    _check_priccati_backend(settings)
     params = P.as_device(params)
     dtype = xs_init.dtype
     alphas = jnp.asarray(settings.alphas, dtype=dtype)
@@ -673,6 +694,195 @@ def solve_box_ddp(spec, settings, params, xs_init, us_init, maxiter, th_stop,
     return solve_fddp_or_ddp(spec, settings, params, xs_init, us_init,
                              maxiter, th_stop, reg_init, feasible, ddp=True,
                              box=True)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-depth solver path (the MPC-tick fast path)
+# ---------------------------------------------------------------------------
+#
+# The while-loop solver above is reference-faithful but structurally hostile
+# to a vmapped TPU tick: nested data-dependent while_loops (outer iterations
+# x regularization escalation x sequential line search) each re-enter
+# sequential horizon scans, and under vmap every loop runs to the worst batch
+# element in lockstep. Measured on the v5e (tools/profile_tick.py): the
+# escalation do-while alone adds ~50 ms per iteration over its own backward
+# pass even when it runs ONCE, and a single hard scenario makes all B
+# elements pay the full alpha ladder.
+#
+# The reference's own MPC tick has a FIXED budget — 2 iterations, one
+# homotopy stage (/root/reference/yaml/hexacopter370_flying_arm_3/mpc/
+# mpc.yaml:6-10) — so the tick body can be fixed-depth by construction:
+#
+# - iterations: ``lax.scan`` over a static depth with done/maxiter masking
+#   (no outer while_loop);
+# - line search: ONE forward rollout with the alpha ladder folded into the
+#   batch (vmap over alphas -> a single 29-step scan of 10x width), then
+#   first-accepted selection — identical semantics to the reference's
+#   sequential early-exit loop (src/sbfddp.cpp:260-289), bounded cost;
+# - regularization escalation folded into the iteration: a failed backward
+#   pass escalates the regs and consumes the iteration instead of re-running
+#   the pass inside a retry loop (the dtype-relative PD floor in
+#   ``_backward_pass`` makes failures rare; deviation pinned by
+#   tests/test_fixed.py).
+
+class _FixedCarry(NamedTuple):
+    xs: jnp.ndarray
+    us: jnp.ndarray
+    cost: jnp.ndarray
+    feasible: jnp.ndarray
+    xreg: jnp.ndarray
+    ureg: jnp.ndarray
+    it: jnp.ndarray
+    stop_val: jnp.ndarray
+    gap_norm: jnp.ndarray
+    done: jnp.ndarray
+    failed: jnp.ndarray
+
+
+def _tree_select(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _fixed_iteration(spec, settings, params, s: _FixedCarry, ddp, th_stop,
+                     box, n_alphas):
+    """One fixed-shape FDDP/DDP iteration (see module comment above)."""
+    dtype = s.xs.dtype
+    alphas = jnp.asarray(settings.alphas[:n_alphas], dtype=dtype)
+
+    derivs, term = P.calc_diff_all(spec, params, s.xs, s.us)
+    cost = jnp.sum(derivs.cost) + term[0]
+    fs = _gaps(spec, params, s.xs, derivs, s.feasible)
+    gap_norm = jnp.max(jnp.abs(fs))
+    box_info = (s.us, params.glob.s_lb, params.glob.s_ub,
+                settings.boxqp_iters) if box else None
+
+    derivs_ok = (jnp.all(jnp.isfinite(derivs.Fx))
+                 & jnp.all(jnp.isfinite(derivs.Lxx))
+                 & jnp.all(jnp.isfinite(derivs.Lu)) & jnp.isfinite(cost)
+                 & jnp.all(jnp.isfinite(term[2])))
+    bp = _backward_pass(spec, derivs, term, fs, s.xreg, s.ureg, s.feasible,
+                        box_info, unroll=settings.scan_unroll,
+                        use_pallas=settings.pallas_backward)
+    bp_ok = bp.ok & derivs_ok
+
+    dg, dq = _expected_improvement_terms(bp, fs, s.feasible)
+
+    def try_alpha(alpha):
+        xs_try, us_try, cost_try, diverged = _forward_pass(
+            spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
+            use_gaps=~ddp, box=box,
+            unroll=settings.scan_unroll, th_diverge=settings.th_diverge)
+        d0_f, d1_f = _expected_improvement(spec, bp, fs, s.xs, xs_try,
+                                           dg, dq, s.feasible)
+        d0 = jnp.where(ddp, dg, d0_f)
+        d1 = jnp.where(ddp, dq, d1_f)
+        dV = cost - cost_try
+        dVexp = alpha * (d0 + 0.5 * alpha * d1)
+        if settings.crocoddyl_signed_d0:
+            at_stationary = d0 < settings.th_grad
+        else:
+            at_stationary = jnp.abs(d0) < settings.th_grad
+        accept_ddp = (dVexp >= 0) & (
+            at_stationary | (~s.feasible)
+            | (dV > settings.th_acceptstep * dVexp))
+        neg_ok = dV > settings.th_acceptnegstep * dVexp
+        if not settings.crocoddyl_negstep_always:
+            neg_ok = (~s.feasible) & neg_ok
+        accept_fddp = jnp.where(
+            dVexp >= 0,
+            at_stationary | (dV > settings.th_acceptstep * dVexp),
+            neg_ok)
+        accept = jnp.where(ddp, accept_ddp, accept_fddp) & ~diverged
+        return xs_try, us_try, cost_try, accept
+
+    # the whole alpha ladder rides ONE rollout scan (vmap folds the alpha
+    # axis into the node batch); first-accepted index = the reference's
+    # early-exit choice since alphas descend
+    xs_t, us_t, cost_t, acc = jax.vmap(try_alpha)(alphas)
+    acc = acc & bp_ok
+    any_accept = jnp.any(acc)
+    idx = jnp.argmax(acc)               # first True (alphas descending)
+    xs_new = jnp.where(any_accept, xs_t[idx], s.xs)
+    us_new = jnp.where(any_accept, us_t[idx], s.us)
+    cost_new = jnp.where(any_accept, cost_t[idx], cost)
+    steplength = jnp.where(any_accept, alphas[idx], alphas[-1])
+    feas_new = jnp.where(any_accept,
+                         jnp.where(ddp, True,
+                                   s.feasible | (steplength == 1.0)),
+                         s.feasible)
+
+    # regularization schedule: the crocoddyl steplength schedule when the
+    # backward pass succeeded; the escalation branch (xreg*factor, no step)
+    # when it failed — the while-solver's retry loop folded into the
+    # iteration (reference try/catch at src/sbfddp.cpp:242-255)
+    dec = bp_ok & (steplength > settings.th_stepdec)
+    inc = (bp_ok & (steplength <= settings.th_stepinc)) | ~bp_ok
+    xreg = jnp.where(dec, jnp.maximum(s.xreg / settings.reg_factor, settings.reg_min), s.xreg)
+    xreg = jnp.where(inc, jnp.minimum(xreg * settings.reg_factor, settings.reg_max), xreg)
+    ureg = jnp.where(dec, jnp.maximum(s.ureg / settings.reg_factor, settings.reg_min), s.ureg)
+    ureg = jnp.where(inc, jnp.minimum(ureg * settings.reg_factor, settings.reg_max), ureg)
+    failed = (~derivs_ok) | (inc & (xreg >= settings.reg_max))
+
+    stop_val = jnp.where(any_accept, cost - cost_new, s.stop_val)
+    if settings.crocoddyl_signed_stop:
+        small_red = stop_val < th_stop
+    else:
+        small_red = (stop_val >= 0) & (stop_val < th_stop)
+    done = any_accept & small_red & jnp.where(
+        ddp, feas_new, gap_norm < settings.th_stop_gaps)
+
+    return _FixedCarry(
+        xs=xs_new, us=us_new, cost=cost_new, feasible=feas_new,
+        xreg=xreg, ureg=ureg, it=s.it + 1, stop_val=stop_val,
+        gap_norm=gap_norm, done=done, failed=failed)
+
+
+@P.highest_matmul
+def solve_fixed(spec, settings: SolverSettings, params, xs_init, us_init,
+                depth: int, th_stop, reg_init=1e-9, feasible_init=False, *,
+                ddp=False, box: bool = False, maxiter=None,
+                n_alphas: Optional[int] = None):
+    """Fixed-depth FDDP/DDP solve: ``depth`` (static) iterations of
+    :func:`_fixed_iteration` under one ``lax.scan``, with done/maxiter
+    masking replacing early exit. ``maxiter`` (traced, <= depth) masks the
+    tail iterations off so one compiled program serves smaller dynamic
+    budgets. Semantics match :func:`solve_fddp_or_ddp` except that a failed
+    backward pass consumes an iteration (escalate-and-continue) instead of
+    retrying inside the iteration — equivalence on the mission corpus is
+    pinned by tests/test_fixed.py."""
+    params = P.as_device(params)
+    dtype = xs_init.dtype
+    ddp = jnp.asarray(ddp)
+    n_alphas = settings.n_alphas if n_alphas is None else n_alphas
+    maxiter_dyn = jnp.asarray(depth if maxiter is None else maxiter, jnp.int32)
+
+    init = _FixedCarry(
+        xs=xs_init, us=us_init,
+        cost=jnp.asarray(jnp.inf, dtype=dtype),
+        feasible=jnp.asarray(feasible_init),
+        xreg=jnp.asarray(reg_init, dtype=dtype),
+        ureg=jnp.asarray(reg_init, dtype=dtype),
+        it=jnp.zeros((), jnp.int32),
+        stop_val=jnp.asarray(jnp.inf, dtype=dtype),
+        gap_norm=jnp.asarray(jnp.inf, dtype=dtype),
+        done=jnp.zeros((), bool),
+        failed=jnp.zeros((), bool),
+    )
+
+    def body(s, i):
+        active = (~s.done) & (~s.failed) & (i < maxiter_dyn)
+        s2 = _fixed_iteration(spec, settings, params, s, ddp, th_stop,
+                              box, n_alphas)
+        return _tree_select(active, s2, s), None
+
+    out, _ = jax.lax.scan(body, init, jnp.arange(depth, dtype=jnp.int32))
+
+    cost_final = jnp.where(jnp.isfinite(out.cost), out.cost,
+                           P.total_cost(spec, params, out.xs, out.us))
+    return SolveResult(
+        xs=out.xs, us=out.us, cost=cost_final, iters=out.it,
+        feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,
+        xreg=out.xreg, failed=out.failed, trace=None)
 
 
 def default_init(spec, params, dtype=None):

@@ -202,3 +202,95 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
                         trace=trace)
 
 
+@P.highest_matmul
+def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
+                us_init=None, depth: int = 2, feasible: bool = False,
+                settings: Optional[SbFddpSettings] = None,
+                n_alphas: Optional[int] = None) -> SbFddpResult:
+    """Fixed-depth SbFDDP solve — the MPC-tick fast path.
+
+    Same homotopy semantics as :func:`solve` (squash smoothness + barrier
+    annealing per stage, DDP polish for still-infeasible candidates,
+    reference loop at /root/reference/src/sbfddp.cpp:192-226), restructured
+    for a vmapped TPU tick (VERDICT r3 item 1):
+
+    - every FDDP homotopy stage runs :func:`fddp.solve_fixed`: a
+      ``lax.scan`` of ``depth`` (static) iterations with done-masking, ONE
+      backward pass per iteration (escalate-and-continue on failure) and
+      the alpha ladder folded into one batched rollout — no data-dependent
+      while_loops, so under vmap the stage cost is a constant instead of
+      the worst element's ladder walk (measured on the v5e: the escalation
+      do-while alone costs ~50 ms per call at B=512 even when it runs
+      once);
+    - the DDP polish stays on the while-loop solver: it only runs for
+      still-infeasible candidates, and the vmapped while_loop with
+      ``maxiter = 0`` exits at the first cond evaluation — the common
+      all-feasible warm tick pays ~nothing for it, where a fixed-depth
+      polish would pay ``depth`` full masked iterations.
+
+    Homotopy stages are unrolled statically (n_stages from the settings,
+    mirroring the reference's convergence_init/mult/stop arithmetic).
+    ``n_alphas`` truncates the line-search ladder for the FDDP stages (the
+    rollout cost is width-proportional on TPU; a warm-started tick accepts
+    alpha = 1 essentially always — when no prefix alpha accepts, the
+    iteration is rejected and regularization escalates, which the next
+    iteration/tick absorbs). ``record_trace`` is not supported here — use
+    :func:`solve` for traced telemetry. Numerical equivalence with
+    :func:`solve` on the mission corpus is pinned by tests/test_fixed.py.
+    """
+    settings = settings or SbFddpSettings()
+    params = P.as_device(params)
+    if xs_init is None or us_init is None:
+        xs0, us0 = fddp.default_init(spec, params)
+        xs_init = xs_init if xs_init is not None else xs0
+        us_init = us_init if us_init is not None else us0
+
+    dtype = xs_init.dtype
+    n = settings.n_stages
+    smooths = [settings.smooth_init * settings.smooth_mult ** k
+               for k in range(n)]
+    th_stops = [settings.convergence_init * settings.convergence_mult ** k
+                for k in range(n)]
+    final_smooth = smooths[-1]
+
+    xs, us = xs_init, us_init
+    feas = jnp.asarray(feasible)
+    iters = jnp.zeros((), jnp.int32)
+    failed = jnp.zeros((), bool)
+
+    # FDDP homotopy stages: fixed-depth scan bodies (reference loop at
+    # src/sbfddp.cpp:205-215; feasibility re-detected per stage because the
+    # annealed squash smoothness changes the dynamics under the candidate)
+    for k in range(n):
+        params_k = _set_homotopy(spec, params, smooths[k])
+        res = fddp.solve_fixed(
+            spec, settings.solver, params_k, xs, us, depth,
+            jnp.asarray(th_stops[k], dtype), settings.reg_init,
+            jnp.zeros((), bool), ddp=False, n_alphas=n_alphas)
+        xs, us, feas = res.xs, res.us, res.feasible
+        iters = iters + res.iters
+        failed = failed | res.failed
+
+    # DDP polish for still-infeasible candidates (src/sbfddp.cpp:217-219):
+    # while-loop solver — with maxiter 0 (feasible element) the vmapped
+    # while exits immediately, so the polish costs ~nothing when warm
+    params_f = _set_homotopy(spec, params, final_smooth)
+    maxiter_p = jnp.where(feas, 0, depth)
+    res_p = fddp.solve_fddp_or_ddp(
+        spec, settings.solver, params_f, xs, us, maxiter_p,
+        jnp.asarray(settings.convergence_stop, dtype), settings.reg_init,
+        jnp.zeros((), bool), ddp=True)
+    xs = jnp.where(feas, xs, res_p.xs)
+    us = jnp.where(feas, us, res_p.us)
+    cost = jnp.where(feas, res.cost, res_p.cost)
+    feas_out = feas | res_p.feasible
+    iters = iters + res_p.iters
+    failed = failed | (~feas & res_p.failed)
+
+    us_squash = P.squashed_controls(spec, params_f, us)
+    return SbFddpResult(xs=xs, us=us, us_squash=us_squash, cost=cost,
+                        iters=iters, feasible=feas_out, failed=failed,
+                        smooth=jnp.asarray(final_smooth, dtype=dtype),
+                        trace=None)
+
+

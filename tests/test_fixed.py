@@ -1,0 +1,193 @@
+"""Fixed-depth solver path (fddp.solve_fixed / sbfddp.solve_fixed) pinned
+against the reference-faithful while-loop solvers.
+
+The fixed path is the MPC-tick fast path (VERDICT r3 item 1): lax.scan over
+a static iteration depth, batched-alpha line search, escalate-and-continue
+regularization. Its semantics deviate from the while solvers ONLY when a
+backward pass fails at the current regularization (the fixed path consumes
+an iteration per escalation step instead of retrying inside the iteration);
+on the mission corpus no escalation fires (the dtype-relative PD floor in
+fddp._backward_pass), so results must match to roundoff.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eagle_mpc_tpu.config import specs
+from eagle_mpc_tpu.mpc import CarrotMpc
+from eagle_mpc_tpu.ocp import problem as P
+from eagle_mpc_tpu.solvers import fddp, sbfddp
+
+MISSIONS = os.path.join(os.path.dirname(__file__), "..", "missions")
+
+
+@pytest.fixture(scope="module")
+def hover_pair():
+    traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                 yaml_dir=MISSIONS)
+    spec, params = P.from_trajectory(traj, dt_ms=40, use_squash=True,
+                                     integrator="IntegratedActionModelEuler")
+    res_w = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=100))(params)
+    depth = int(res_w.iters) + 8
+    res_f = jax.jit(lambda p: sbfddp.solve_fixed(spec, p, depth=depth))(params)
+    return spec, params, res_w, res_f
+
+
+class TestFixedMatchesWhile:
+    def test_hover_same_iterations(self, hover_pair):
+        _, _, res_w, res_f = hover_pair
+        assert int(res_f.iters) == int(res_w.iters)
+        assert bool(res_f.feasible) and not bool(res_f.failed)
+
+    def test_hover_same_solution(self, hover_pair):
+        _, _, res_w, res_f = hover_pair
+        assert abs(float(res_w.cost) - float(res_f.cost)) <= 1e-9 * float(res_w.cost)
+        np.testing.assert_allclose(np.asarray(res_f.xs), np.asarray(res_w.xs),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(res_f.us_squash),
+                                   np.asarray(res_w.us_squash), atol=1e-9)
+
+    def test_hover_bounds(self, hover_pair):
+        _, params, _, res_f = hover_pair
+        u = np.asarray(res_f.us_squash)
+        assert np.all(u >= np.asarray(params.glob.s_lb) - 1e-9)
+        assert np.all(u <= np.asarray(params.glob.s_ub) + 1e-9)
+
+
+@pytest.fixture(scope="module")
+def flagship_tick():
+    """Warm-started flagship carrot tick — the exact bench.py workload shape."""
+    traj = specs.load_trajectory(
+        "hexacopter370_flying_arm_3/trajectories/displacement.yaml",
+        yaml_dir=MISSIONS)
+    mp = specs.load_mpc_params("hexacopter370_flying_arm_3/mpc/mpc.yaml",
+                               yaml_dir=MISSIONS)
+    dt_ref = 30
+    n_ref = traj.duration // dt_ref + 1
+    ref = np.tile(np.asarray(traj.initial_state), (n_ref, 1))
+    ref[:, 0] = np.linspace(0.0, 2.0, n_ref)
+    ctrl = CarrotMpc(mpc_params=mp, trajectory=traj, state_ref=ref,
+                     dt_ref=dt_ref)
+    spec = ctrl.spec
+    T, nu = spec.T, spec.nu
+    x0 = jnp.asarray(traj.initial_state)
+    xs0 = jnp.tile(x0, (T + 1, 1))
+    m = float(mp.model.inertia[0][0, 0])
+    hover = m * 9.81 / mp.platform.n_rotors
+    us0 = jnp.zeros((T, nu)).at[:, : mp.platform.n_rotors].set(hover)
+    p0 = ctrl.update_problem(0.0, P.as_device(ctrl.params0)._replace(x0=x0))
+    warm = jax.jit(lambda p, xs, us: sbfddp.solve_fixed(
+        spec, p, xs, us, depth=30))(p0, xs0, us0)
+    return ctrl, spec, warm
+
+
+class TestFixedTick:
+    def test_warm_start_converges(self, flagship_tick):
+        _, _, warm = flagship_tick
+        assert bool(warm.feasible) and not bool(warm.failed)
+        assert np.isfinite(float(warm.cost))
+
+    def test_tick_matches_while(self, flagship_tick):
+        ctrl, spec, warm = flagship_tick
+        sbs = sbfddp.SbFddpSettings(convergence_init=1e-3)
+        p1 = ctrl.update_problem(
+            2.0, P.as_device(ctrl.params0)._replace(x0=warm.xs[1]))
+        tick_w = jax.jit(lambda p, xs, us: sbfddp.solve(
+            spec, p, xs, us, maxiter=2, settings=sbs))(p1, warm.xs, warm.us)
+        tick_f = jax.jit(lambda p, xs, us: sbfddp.solve_fixed(
+            spec, p, xs, us, depth=2, settings=sbs))(p1, warm.xs, warm.us)
+        assert int(tick_f.iters) == int(tick_w.iters)
+        np.testing.assert_allclose(np.asarray(tick_f.us_squash),
+                                   np.asarray(tick_w.us_squash), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(tick_f.xs),
+                                   np.asarray(tick_w.xs), atol=1e-9)
+
+    def test_tick_vmaps(self, flagship_tick):
+        ctrl, spec, warm = flagship_tick
+        sbs = sbfddp.SbFddpSettings(convergence_init=1e-3)
+        B = 4
+        rng = np.random.default_rng(0)
+        noise = rng.normal(size=(B, warm.xs.shape[1])) * 0.01
+        noise[:, 3:7] = 0.0
+        x0b = jnp.asarray(np.asarray(warm.xs[1])[None] + noise)
+        params0 = ctrl.params0
+
+        @jax.jit
+        def batched(x0b):
+            def one(x0):
+                p = ctrl.update_problem(
+                    2.0, P.as_device(params0)._replace(x0=x0))
+                return sbfddp.solve_fixed(spec, p, warm.xs, warm.us,
+                                          depth=2, settings=sbs)
+            return jax.vmap(one)(x0b)
+
+        res = batched(x0b)
+        assert res.xs.shape[0] == B
+        assert np.all(np.asarray(res.feasible))
+        assert np.all(np.isfinite(np.asarray(res.cost)))
+
+
+class TestFixedBox:
+    def test_box_fddp_fixed_matches_while(self):
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=False,
+            integrator="IntegratedActionModelEuler")
+        xs0, us0 = fddp.default_init(spec, params)
+        st = fddp.SolverSettings()
+        res_w = jax.jit(lambda p: fddp.solve_box_fddp(
+            spec, st, p, xs0, us0, 60, 1e-9))(params)
+        depth = int(res_w.iters) + 6
+        res_f = jax.jit(lambda p: fddp.solve_fixed(
+            spec, st, p, xs0, us0, depth, 1e-9, box=True))(params)
+        assert int(res_f.iters) == int(res_w.iters)
+        np.testing.assert_allclose(np.asarray(res_f.us), np.asarray(res_w.us),
+                                   atol=1e-8)
+        u = np.asarray(res_f.us)
+        assert np.all(u >= np.asarray(params.glob.s_lb) - 1e-9)
+        assert np.all(u <= np.asarray(params.glob.s_ub) + 1e-9)
+
+
+class TestFixedDeviation:
+    def test_escalation_consumes_iteration_but_recovers(self):
+        """The ONE semantic deviation of the fixed path: a failed backward
+        pass escalates regs and consumes an iteration instead of retrying
+        in-place. Force failures by disabling the PD floor's headroom via a
+        huge reg_max... instead, simplest trigger: feed a candidate whose
+        derivatives are finite but Quu is indefinite at zero reg — the
+        barrier-free box path with absurd negative control cost cannot be
+        constructed from missions, so this pins behavior structurally: with
+        maxiter masking the fixed solver must still converge on hover when
+        given extra depth headroom."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        # high initial regularization: the schedule has to walk it down —
+        # exercises the inc/dec reg logic across many masked iterations
+        st = sbfddp.SbFddpSettings(reg_init=1e3)
+        res = jax.jit(lambda p: sbfddp.solve_fixed(
+            spec, p, depth=60, settings=st))(params)
+        assert bool(res.feasible) and not bool(res.failed)
+        xT = np.asarray(res.xs[-1])
+        np.testing.assert_allclose(xT[:3], [0, 0, 2.5], atol=5e-2)
+
+    def test_maxiter_mask_zero_is_noop(self):
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        xs0, us0 = fddp.default_init(spec, params)
+        st = fddp.SolverSettings()
+        res = jax.jit(lambda p: fddp.solve_fixed(
+            spec, st, p, xs0, us0, 4, 1e-9, maxiter=0))(params)
+        assert int(res.iters) == 0
+        np.testing.assert_array_equal(np.asarray(res.xs), np.asarray(xs0))
+        np.testing.assert_array_equal(np.asarray(res.us), np.asarray(us0))

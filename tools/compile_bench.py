@@ -80,6 +80,8 @@ def main():
     print(json.dumps({"program": "backend_init", "platform": platform,
                       "init_s": round(init_s, 2)}), flush=True)
     stage_times("mpc_chunk", setup.run_chunk_fn, *setup.chunk_args)
+    if setup.warm_fn is not None:  # fixed path: separate warm-start program
+        stage_times("warm_solve", setup.warm_fn, *setup.warm_args)
 
 
 if __name__ == "__main__":
