@@ -15,8 +15,9 @@ where XLA's batched-GEMM lowering does fall off the MXU.
 Layout: **batch in lanes**. Every Riccati operand is transposed to
 batch-LAST, so a matrix element like `Vxx[i, k]` is a (BT,)-lane vector
 and an (18, 18, BT) tensor tiles the VPU as 18 x ceil(18/8) vregs with
-full lane occupancy (see /opt/skills/guides/pallas_guide.md, "Tiling
-Constraints": trailing dims tile as (8, 128) for f32). Matrix products
+full lane occupancy (see the Pallas TPU docs on tiling constraints,
+jax.readthedocs.io/en/latest/pallas/tpu/details.html: trailing dims
+tile as (8, 128) for f32). Matrix products
 are expressed as contractions over the STATIC matrix dimension (18 or 9
 broadcast-FMA statements each), so the Mosaic program stays small while
 the per-statement work is a full (18, BT) tile.
@@ -54,10 +55,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # TPU backend for scratch shapes; absent on CPU-only installs is fine
-    from jax.experimental.pallas import tpu as pltpu
-except ImportError:  # pragma: no cover
-    pltpu = None
+# pallas.tpu ships with jax itself (scratch shapes work in interpret mode
+# too), so no import guard — a guarded fallback would leave _node_kernel's
+# scratch parameters unbound and fail at call time anyway
+from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # batch padding granularity (f32 lane tile)
 
@@ -231,7 +232,7 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
     BT = next(bt for bt in (512, 256, 128) if Bp % bt == 0)
     nb = Bp // BT
 
-    def to_lanes(x, extra):
+    def to_lanes(x):
         # (B, T, *dims) -> (T, *dims, Bp)
         x = jnp.moveaxis(x, 0, -1)
         if Bp != B:
@@ -239,13 +240,13 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
             x = jnp.pad(x, pad)
         return x
 
-    FxL = to_lanes(Fx, 2); FuL = to_lanes(Fu, 2)
-    LxL = to_lanes(Lx, 1); LuL = to_lanes(Lu, 1)
-    LxxL = to_lanes(Lxx, 2); LuuL = to_lanes(Luu, 2)
-    LxuTL = to_lanes(jnp.swapaxes(Lxu, 2, 3), 2)   # (T, nu, ndx, Bp)
-    fsL = to_lanes(fs, 1)                          # (T, ndx, Bp)
-    VxTL = to_lanes(VxT[:, None], 0)[0]            # (ndx, Bp)
-    VxxTL = to_lanes(VxxT[:, None], 0)[0]          # (ndx, ndx, Bp)
+    FxL = to_lanes(Fx); FuL = to_lanes(Fu)
+    LxL = to_lanes(Lx); LuL = to_lanes(Lu)
+    LxxL = to_lanes(Lxx); LuuL = to_lanes(Luu)
+    LxuTL = to_lanes(jnp.swapaxes(Lxu, 2, 3))      # (T, nu, ndx, Bp)
+    fsL = to_lanes(fs)                             # (T, ndx, Bp)
+    VxTL = to_lanes(VxT[:, None])[0]               # (ndx, Bp)
+    VxxTL = to_lanes(VxxT[:, None])[0]             # (ndx, ndx, Bp)
     pad1 = (0, Bp - B)
     xrL = jnp.pad(xreg, pad1)
     urL = jnp.pad(ureg, pad1)
@@ -289,13 +290,8 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
         jax.ShapeDtypeStruct((T, ndx, ndx, Bp), dtype),
     ]
     interpret = _interpret()
-    if pltpu is not None and not interpret:
-        scratch = [pltpu.VMEM((ndx, BT), dtype),
-                   pltpu.VMEM((ndx, ndx, BT), dtype)]
-    else:
-        scratch = [pltpu.VMEM((ndx, BT), dtype),
-                   pltpu.VMEM((ndx, ndx, BT), dtype)] if pltpu is not None \
-            else []
+    scratch = [pltpu.VMEM((ndx, BT), dtype),
+               pltpu.VMEM((ndx, ndx, BT), dtype)]
 
     kern = functools.partial(_node_kernel, nu=nu, ndx=ndx, rel_eps=rel_eps)
     outs = pl.pallas_call(
@@ -308,7 +304,7 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
-            if (pltpu is not None and not interpret) else None),
+            if not interpret else None),
     )(FxL, FuL, LxL, LuL, LxxL, LxuTL, LuuL, fsL, VxTL, VxxTL, xrL, urL, nfL)
 
     def from_lanes(x):  # (T, *dims, Bp) -> (B, T, *dims)

@@ -22,7 +22,12 @@ def main():
     ap.add_argument("--maxiter", type=int, default=60)
     ap.add_argument("--noise", type=float, default=0.05)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI mode: tiny batch on CPU, assert convergence")
     args = ap.parse_args()
+    if args.smoke:
+        args.robot, args.mission = "iris", "hover"
+        args.batch, args.dt, args.maxiter, args.cpu = 8, 60, 40, True
 
     import jax
 
@@ -64,6 +69,9 @@ def main():
     wall = time.time() - t0
     s = convergence_summary(res)
     log.info(f"steady: {wall:.2f}s -> {args.batch / wall:.0f} solves/s | {s}")
+    if args.smoke:
+        assert s["feasible_frac"] >= 0.99, f"smoke: {s}"
+        print("SMOKE OK")
 
 
 if __name__ == "__main__":

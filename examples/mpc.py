@@ -30,7 +30,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--plot", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI mode: tiny closed loop on CPU, assert tracking")
     args = ap.parse_args()
+    if args.smoke:
+        args.robot, args.mission = "iris", "hover"
+        args.dt, args.dt_sim, args.cpu = 60, 20.0, True
+        args.horizon_factor = 0.15
 
     import jax
 
@@ -98,6 +104,10 @@ def main():
     errs = np.linalg.norm(np.asarray(out.states[1:, :3]) - xs_off[ref_idx][:, :3],
                           axis=1)
     log.info(f"tracking error: mean {errs.mean():.4f} m, max {errs.max():.4f} m")
+    if args.smoke:
+        assert np.all(np.isfinite(np.asarray(out.states))), "smoke: diverged"
+        assert errs.mean() < 0.5, f"smoke: tracking error {errs.mean():.3f} m"
+        print("SMOKE OK")
 
     if args.plot:
         from eagle_mpc_tpu.viz import plots

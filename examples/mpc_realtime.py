@@ -26,7 +26,12 @@ def main():
                     help="control period [ms]")
     ap.add_argument("--ticks", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI mode: few ticks on CPU, assert sane serving")
     args = ap.parse_args()
+    if args.smoke:
+        args.robot, args.mission = "iris", "hover"
+        args.dt, args.period, args.ticks, args.cpu = 60, 50.0, 5, True
 
     import jax
 
@@ -115,6 +120,10 @@ def main():
              f"(avg tick {stats.total_avg * 1e3:.2f} ms)")
     err = np.linalg.norm(np.asarray(x)[:3] - xs_off[-1][:3])
     log.info(f"plant vs trajectory end after {args.ticks} ticks: {err:.3f} m")
+    if args.smoke:
+        assert np.all(np.isfinite(np.asarray(x))), "smoke: plant diverged"
+        assert stats.n == args.ticks
+        print("SMOKE OK")
 
 
 if __name__ == "__main__":

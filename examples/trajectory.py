@@ -30,7 +30,12 @@ def main():
     ap.add_argument("--verbose", action="store_true",
                     help="print per-iteration solver telemetry "
                          "(CallbackVerbose equivalent)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI mode: tiny mission on CPU, assert convergence")
     args = ap.parse_args()
+    if args.smoke:
+        args.robot, args.mission = "iris", "hover"
+        args.dt, args.maxiter, args.cpu = 60, 60, True
 
     import jax
 
@@ -71,6 +76,11 @@ def main():
              f"feasible={bool(res.feasible)}")
     if args.verbose:
         print(fddp.format_trace(res.trace))
+    if args.smoke:
+        assert bool(res.feasible) and not bool(res.failed), "smoke: not converged"
+        import numpy as _np
+        assert _np.isfinite(float(res.cost))
+        print("SMOKE OK")
 
     if args.plot:
         from eagle_mpc_tpu.viz import plots

@@ -77,6 +77,53 @@ class TestCoreParity:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=0, atol=0)
 
+    def test_scan_single_matches_fddp_backward_pass(self):
+        """_scan_single re-states fddp._backward_pass's step math (reg
+        floor, gap handling) without sharing code; pin them against each
+        other so a solver-semantics change cannot silently diverge the
+        pallas_backward path (ADVICE r3)."""
+        from eagle_mpc_tpu.solvers.fddp import BackwardPassData, _backward_pass
+
+        class _Spec:
+            pass
+
+        ndx, nu, T = 12, 5, 6
+        args = _random_core_args(B=1, T=T, ndx=ndx, nu=nu, seed=6)
+        (Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
+         xreg, ureg, feas) = [a[0] for a in args]
+
+        k, K, Qu, Quuk, Vx_r, Vxx_r = rp._scan_single(
+            Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
+            xreg, ureg, feas)
+
+        # drive the real solver backward pass with the same derivative
+        # blocks; terminal (cost, Lx, Lxx) chosen so its internal
+        # VxxT/VxT equal ours
+        from types import SimpleNamespace
+        derivs = P.NodeDerivatives(
+            cost=jnp.zeros((T,)), xnext=jnp.zeros((T, 1)),
+            Fx=Fx, Fu=Fu, Lx=Lx, Lu=Lu, Lxx=Lxx, Lxu=Lxu, Luu=Luu)
+        spec = SimpleNamespace(
+            state=SimpleNamespace(ndx=ndx), nu=nu)
+        I = jnp.eye(ndx, dtype=VxxT.dtype)
+        LxxT_in = VxxT - float(xreg) * I
+        fs_full = jnp.concatenate([jnp.zeros((1, ndx)), fs], axis=0)
+        # _backward_pass forms VxT = LxT + Vxx @ fs[-1] when infeasible;
+        # invert that to target the same VxT: we must append the gap row
+        # it consumes as fs[-1] — use zero so VxT == LxT directly
+        fs_full = jnp.concatenate([fs, jnp.zeros((1, ndx))], axis=0)
+        bp = _backward_pass(spec, derivs, (jnp.zeros(()), VxT, LxxT_in),
+                            fs_full, xreg, ureg, feas)
+        assert isinstance(bp, BackwardPassData)
+        np.testing.assert_allclose(np.asarray(bp.k), np.asarray(k),
+                                   rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(bp.K), np.asarray(K),
+                                   rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(bp.Vx[:-1]), np.asarray(Vx_r),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(bp.Vxx[:-1]), np.asarray(Vxx_r),
+                                   rtol=1e-10, atol=1e-10)
+
     def test_feasible_flag_zeroes_gap_terms(self):
         args = _random_core_args(B=4, T=5, ndx=6, nu=4, seed=5)
         args[-1] = jnp.ones((4,), bool)  # feasible
