@@ -176,7 +176,7 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
             def one(t, x0, xs, us):
                 p = ctrl.update_problem(t, params._replace(x0=x0))
                 r = sbfddp.solve_fixed(spec, p, xs, us, depth=WARM_MAXITER,
-                                       settings=settings)
+                                       settings=settings, polish="fixed")
                 return r.xs, r.us, r.cost, r.feasible
 
             xs, us, cost, feas = jax.vmap(one)(

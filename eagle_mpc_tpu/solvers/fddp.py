@@ -475,7 +475,7 @@ def _expected_improvement(spec, bp, fs, xs, xs_try, dg, dq, feasible):
 def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
                       maxiter, th_stop, reg_init, feasible_init, *, ddp,
                       box: bool = False, trace_len: Optional[int] = None,
-                      phase_id=0):
+                      phase_id=0, final_cost_fallback: bool = True):
     """Shared outer loop for FDDP (gap-aware) and the DDP polish variant.
 
     All loop-carried quantities are arrays; vmap over ``params`` batches the
@@ -650,11 +650,15 @@ def solve_fddp_or_ddp(spec, settings: SolverSettings, params, xs_init, us_init,
 
     out = jax.lax.while_loop(cond, body, init)
 
-    # final cost if never iterated (maxiter == 0): dynamics-free evaluation
-    # (this branch is computed unconditionally under XLA, so it must be
-    # cheap — it runs once per homotopy-schedule row)
-    cost_final = jnp.where(jnp.isfinite(out.cost), out.cost,
-                           P.total_cost(spec, params, out.xs, out.us))
+    # final cost if never iterated (maxiter == 0): dynamics-free evaluation.
+    # NOT cheap at batch scale — measured 78 ms per call at B=512 on the
+    # v5e — so callers that never consume the zero-iteration cost (the
+    # fixed tick's polish) disable it.
+    if final_cost_fallback:
+        cost_final = jnp.where(jnp.isfinite(out.cost), out.cost,
+                               P.total_cost(spec, params, out.xs, out.us))
+    else:
+        cost_final = out.cost
     return SolveResult(
         xs=out.xs, us=out.us, cost=cost_final, iters=out.it,
         feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,
@@ -841,7 +845,8 @@ def _fixed_iteration(spec, settings, params, s: _FixedCarry, ddp, th_stop,
 def solve_fixed(spec, settings: SolverSettings, params, xs_init, us_init,
                 depth: int, th_stop, reg_init=1e-9, feasible_init=False, *,
                 ddp=False, box: bool = False, maxiter=None,
-                n_alphas: Optional[int] = None):
+                n_alphas: Optional[int] = None,
+                final_cost_fallback: bool = True):
     """Fixed-depth FDDP/DDP solve: ``depth`` (static) iterations of
     :func:`_fixed_iteration` under one ``lax.scan``, with done/maxiter
     masking replacing early exit. ``maxiter`` (traced, <= depth) masks the
@@ -877,8 +882,15 @@ def solve_fixed(spec, settings: SolverSettings, params, xs_init, us_init,
 
     out, _ = jax.lax.scan(body, init, jnp.arange(depth, dtype=jnp.int32))
 
-    cost_final = jnp.where(jnp.isfinite(out.cost), out.cost,
-                           P.total_cost(spec, params, out.xs, out.us))
+    # maxiter = 0 leaves cost at inf; the dynamics-free evaluation fixes it
+    # up. Callers that never consume the zero-iteration cost (the SbFDDP
+    # stage driver selects a real iteration's cost instead) disable this —
+    # measured 78 ms per call at B=512 on the v5e, pure waste there.
+    if final_cost_fallback:
+        cost_final = jnp.where(jnp.isfinite(out.cost), out.cost,
+                               P.total_cost(spec, params, out.xs, out.us))
+    else:
+        cost_final = out.cost
     return SolveResult(
         xs=out.xs, us=out.us, cost=cost_final, iters=out.it,
         feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,

@@ -206,7 +206,8 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
 def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
                 us_init=None, depth: int = 2, feasible: bool = False,
                 settings: Optional[SbFddpSettings] = None,
-                n_alphas: Optional[int] = None) -> SbFddpResult:
+                n_alphas: Optional[int] = None,
+                polish: str = "while") -> SbFddpResult:
     """Fixed-depth SbFDDP solve — the MPC-tick fast path.
 
     Same homotopy semantics as :func:`solve` (squash smoothness + barrier
@@ -237,6 +238,18 @@ def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     iteration/tick absorbs). ``record_trace`` is not supported here — use
     :func:`solve` for traced telemetry. Numerical equivalence with
     :func:`solve` on the mission corpus is pinned by tests/test_fixed.py.
+
+    ``polish`` selects the DDP-polish execution strategy:
+
+    - "while" (default): the while-loop solver — right for warm TICKS,
+      where candidates are feasible and the vmapped while exits at the
+      first cond check (measured ~0 cost);
+    - "fixed": a fixed-depth DDP scan — right for COLD batched solves
+      (bench warm start), where stragglers would otherwise drag the whole
+      batch through the lockstep while ladder (measured: a B=512 cold
+      warm start spent ~680 s in the while polish vs a bounded
+      ~depth x iteration-cost here);
+    - "none": skip the polish (still-infeasible elements stay infeasible).
     """
     settings = settings or SbFddpSettings()
     params = P.as_device(params)
@@ -266,26 +279,39 @@ def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
         res = fddp.solve_fixed(
             spec, settings.solver, params_k, xs, us, depth,
             jnp.asarray(th_stops[k], dtype), settings.reg_init,
-            jnp.zeros((), bool), ddp=False, n_alphas=n_alphas)
+            jnp.zeros((), bool), ddp=False, n_alphas=n_alphas,
+            final_cost_fallback=False)
         xs, us, feas = res.xs, res.us, res.feasible
         iters = iters + res.iters
         failed = failed | res.failed
 
-    # DDP polish for still-infeasible candidates (src/sbfddp.cpp:217-219):
-    # while-loop solver — with maxiter 0 (feasible element) the vmapped
-    # while exits immediately, so the polish costs ~nothing when warm
+    # DDP polish for still-infeasible candidates (src/sbfddp.cpp:217-219)
     params_f = _set_homotopy(spec, params, final_smooth)
     maxiter_p = jnp.where(feas, 0, depth)
-    res_p = fddp.solve_fddp_or_ddp(
-        spec, settings.solver, params_f, xs, us, maxiter_p,
-        jnp.asarray(settings.convergence_stop, dtype), settings.reg_init,
-        jnp.zeros((), bool), ddp=True)
-    xs = jnp.where(feas, xs, res_p.xs)
-    us = jnp.where(feas, us, res_p.us)
-    cost = jnp.where(feas, res.cost, res_p.cost)
-    feas_out = feas | res_p.feasible
-    iters = iters + res_p.iters
-    failed = failed | (~feas & res_p.failed)
+    if polish == "while":
+        res_p = fddp.solve_fddp_or_ddp(
+            spec, settings.solver, params_f, xs, us, maxiter_p,
+            jnp.asarray(settings.convergence_stop, dtype), settings.reg_init,
+            jnp.zeros((), bool), ddp=True, final_cost_fallback=False)
+    elif polish == "fixed":
+        res_p = fddp.solve_fixed(
+            spec, settings.solver, params_f, xs, us, depth,
+            jnp.asarray(settings.convergence_stop, dtype), settings.reg_init,
+            jnp.zeros((), bool), ddp=True, maxiter=maxiter_p,
+            final_cost_fallback=False)
+    elif polish == "none":
+        res_p = None
+    else:
+        raise ValueError(f"polish must be while|fixed|none, got {polish!r}")
+    if res_p is not None:
+        xs = jnp.where(feas, xs, res_p.xs)
+        us = jnp.where(feas, us, res_p.us)
+        cost = jnp.where(feas, res.cost, res_p.cost)
+        feas_out = feas | res_p.feasible
+        iters = iters + res_p.iters
+        failed = failed | (~feas & res_p.failed)
+    else:
+        cost, feas_out = res.cost, feas
 
     us_squash = P.squashed_controls(spec, params_f, us)
     return SbFddpResult(xs=xs, us=us, us_squash=us_squash, cost=cost,

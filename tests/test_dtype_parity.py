@@ -42,6 +42,12 @@ PARITY_CASES = [
     ("hextilt/trajectories/hover.yaml", 60, 1e-3, 1e-3, 3e-1),
     ("hexacopter370_flying_arm_3/trajectories/displacement.yaml", 60,
      5e-1, 1e-3, None),
+    # CONTACT mission (VERDICT r3 missing #4): eagle_catch solves the
+    # masked contact KKT inside every catch node. Terminal state is tight
+    # (measured dxT=4.2e-5); cost/u0 are informative only (arm redundancy,
+    # measured dcost=0.17, du0=1.1 — the non-unique-optimizer class above).
+    ("hexacopter370_flying_arm_3/trajectories/eagle_catch.yaml", 60,
+     None, 1e-3, None),
 ]
 
 
@@ -73,10 +79,39 @@ class TestDtypeParity:
         du = np.abs(u032 - u064).max()
         print(f"\nPARITY {rel}: dcost_rel={dcost:.2e} dxT={dx:.2e} du0={du:.2e}")
 
-        assert dcost < rtol_cost, (rel, cost32, cost64)
+        if rtol_cost is not None:
+            assert dcost < rtol_cost, (rel, cost32, cost64)
         assert dx < atol_x, (rel, dx)
         if atol_u is not None:
             assert du < atol_u, (rel, du)
+
+    def test_monkey_bar_contact_invariant_both_dtypes(self):
+        """monkey_bar is MULTIMODAL (a swing maneuver): cold f32 and f64
+        solves land in different basins (measured dxT ~ 1.0 with both
+        feasible, f32's cost lower), so optimizer-identity is not the
+        contract. The mission contract IS: both dtypes converge feasibly
+        AND hold the bar through the contact stage (the gripper pins the
+        initial contact point — acceleration-level 3D contact with zero
+        Baumgarte gains, crocoddyl semantics)."""
+        from eagle_mpc_tpu.dynamics import rbd
+
+        rel = "hexacopter370_flying_arm_3/trajectories/monkey_bar.yaml"
+        for dtype in (jnp.float64, jnp.float32):
+            spec, res = _solve(rel, 60, dtype)
+            assert not bool(res.failed), dtype
+            assert np.isfinite(float(res.cost)), dtype
+            fid = spec.contacts[0].frame_id
+            traj = specs.load_trajectory(rel, yaml_dir=MISSIONS)
+            x0 = np.asarray(traj.initial_state)
+            p0, _ = rbd.frame_placement(spec.model,
+                                        jnp.asarray(x0[: spec.model.nq],
+                                                    dtype), fid)
+            n_hang = 1200 // 60
+            for t in (1, n_hang // 2, n_hang - 1):
+                p, _ = rbd.frame_placement(
+                    spec.model, res.xs[t][: spec.model.nq], fid)
+                np.testing.assert_allclose(np.asarray(p), np.asarray(p0),
+                                           atol=0.1)
 
 
 if __name__ == "__main__":

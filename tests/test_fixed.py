@@ -153,6 +153,45 @@ class TestFixedBox:
         assert np.all(u <= np.asarray(params.glob.s_ub) + 1e-9)
 
 
+class TestPolishVariants:
+    def test_polish_paths_agree(self):
+        """polish="while" (tick path), "fixed" (cold-batch path) and
+        "none" must agree whenever the homotopy stages end feasible (the
+        polish is then per-element masked off in all three)."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        res = {}
+        for polish in ("while", "fixed", "none"):
+            res[polish] = jax.jit(lambda p, po=polish: sbfddp.solve_fixed(
+                spec, p, depth=30, polish=po))(params)
+        assert all(bool(r.feasible) for r in res.values())
+        for polish in ("fixed", "none"):
+            np.testing.assert_array_equal(
+                np.asarray(res[polish].us_squash),
+                np.asarray(res["while"].us_squash))
+
+    def test_polish_fixed_recovers_infeasible(self):
+        """A candidate that is still infeasible after a starved FDDP stage
+        must be pushed to feasibility by the fixed-depth polish (the
+        reference's solveDDP pass, src/sbfddp.cpp:217-219)."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        # depth 1: one FDDP iteration cannot close a cold start's gaps
+        starved = jax.jit(lambda p: sbfddp.solve_fixed(
+            spec, p, depth=1, polish="none"))(params)
+        if bool(starved.feasible):  # pragma: no cover - safety net
+            pytest.skip("cold start unexpectedly feasible after 1 iter")
+        polished = jax.jit(lambda p: sbfddp.solve_fixed(
+            spec, p, depth=1, polish="fixed"))(params)
+        assert bool(polished.feasible)
+
+
 class TestFixedDeviation:
     def test_escalation_consumes_iteration_but_recovers(self):
         """The ONE semantic deviation of the fixed path: a failed backward
