@@ -146,24 +146,24 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
         spec = ctrl.spec
 
         def run_chunk(params, t0_ms, xb, xs, us):
-            """K chained closed-loop MPC ticks for B scenarios (fixed-depth
-            tick solver; one iteration budget = mpc_controller/iters)."""
+            """K chained closed-loop MPC ticks for B scenarios (batch-aware
+            fixed-depth solver; budget = mpc_controller/iters). The DDP
+            polish runs under a scalar any(infeasible) conditional — free
+            on the all-feasible warm ticks, bounded when it fires."""
 
             def tick(carry, _):
                 t_ms, xb, xs, us = carry
-
-                def one(t, x0, xs, us):
-                    p = ctrl.update_problem(t, params._replace(x0=x0))
-                    r = sbfddp.solve_fixed(spec, p, xs, us, depth=mp.iters,
-                                           settings=sbs_tick,
-                                           n_alphas=n_alphas)
-                    x_next = sim.step(x0, r.us_squash[0])
-                    return x_next, r.xs, r.us, r.cost, r.feasible
-
-                xb, xs, us, cost, feas = jax.vmap(one)(
-                    jnp.full((xb.shape[0],), t_ms, dtype), xb, xs, us)
-                return (t_ms + DT_SIM, xb, xs, us), (cost.mean(),
-                                                     feas.astype(dtype).mean())
+                t_full = jnp.full((xb.shape[0],), t_ms, dtype)
+                params_b = jax.vmap(
+                    lambda t, x0: ctrl.update_problem(
+                        t, params._replace(x0=x0)))(t_full, xb)
+                r = sbfddp.solve_fixed_batched(spec, params_b, xs, us,
+                                               depth=mp.iters,
+                                               settings=sbs_tick,
+                                               n_alphas=n_alphas)
+                xb = jax.vmap(sim.step)(xb, r.us_squash[:, 0])
+                return (t_ms + DT_SIM, xb, r.xs, r.us), (
+                    r.cost.mean(), r.feasible.astype(dtype).mean())
 
             (t_ms, xb, xs, us), (costs, feas) = jax.lax.scan(
                 tick, (t0_ms, xb, xs, us), None, length=ticks)
@@ -172,16 +172,14 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
         def warm_fn(params, t_ms, xb, xs, us):
             """One-shot warm-start solve at t_ms (full ladder, full
             homotopy, deterministic fixed depth — VERDICT r3 item 2)."""
-
-            def one(t, x0, xs, us):
-                p = ctrl.update_problem(t, params._replace(x0=x0))
-                r = sbfddp.solve_fixed(spec, p, xs, us, depth=WARM_MAXITER,
-                                       settings=settings, polish="fixed")
-                return r.xs, r.us, r.cost, r.feasible
-
-            xs, us, cost, feas = jax.vmap(one)(
-                jnp.full((xb.shape[0],), t_ms, dtype), xb, xs, us)
-            return cost.mean(), feas.astype(dtype).mean(), xs, us
+            t_full = jnp.full((xb.shape[0],), t_ms, dtype)
+            params_b = jax.vmap(
+                lambda t, x0: ctrl.update_problem(
+                    t, params._replace(x0=x0)))(t_full, xb)
+            r = sbfddp.solve_fixed_batched(spec, params_b, xs, us,
+                                           depth=WARM_MAXITER,
+                                           settings=settings, polish="fixed")
+            return r.cost.mean(), r.feasible.astype(dtype).mean(), r.xs, r.us
 
     else:
         # round-3 while-loop path: ONE schedule length L = 3 serves both
@@ -303,8 +301,11 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
         t0 = time.time()
         warm_compiled = jwarm.lower(*wl.warm_args).compile()
         warm_compile_s = time.time() - t0
-        t0 = time.time()
         params0, t_warm, xb, xs, us = wl.warm_args
+        # host snapshots: the settle chunk DONATES these buffers, and the
+        # steady-warm re-run below needs fresh copies of the same values
+        snap = tuple(np.asarray(a) for a in (xb, xs, us))
+        t0 = time.time()
         wcost, wfeas, xs, us = warm_compiled(params0, t_warm, xb, xs, us)
         _ = float(np.asarray(wcost))
         # settle: run the K-tick chunk once from t_warm -> t0 (same
@@ -312,12 +313,22 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
         costs, feas, t_ms, xb, xs, us = compiled(params0, t_warm, xb, xs, us)
         _ = np.asarray(costs)
         warm_s = time.time() - t0
+        # steady warm cost: the first execution of a freshly compiled
+        # program on the tunneled runtime carries volatile initialization
+        # overhead (observed 3x swings); re-time the same program for the
+        # deterministic number (VERDICT r3 item 2)
+        t0 = time.time()
+        wcost2, _, _, _ = warm_compiled(
+            params0, t_warm, *(jnp.asarray(a) for a in snap))
+        _ = float(np.asarray(wcost2))
+        warm_steady_s = time.time() - t0
     else:
         warm_compile_s = 0.0
         t0 = time.time()
         costs, feas, t_ms, xb, xs, us = compiled(*wl.warm_args)
         _ = np.asarray(costs)
         warm_s = time.time() - t0
+        warm_steady_s = float("nan")
 
     times = []
     params0 = wl.chunk_args[1] if solver_kind == "while" else wl.chunk_args[0]
@@ -357,6 +368,7 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
              "compile_s": round(compile_s, 1),
              "warm_compile_s": round(warm_compile_s, 1),
              "warm_s": round(warm_s, 1),
+             "warm_steady_s": round(warm_steady_s, 1),
              "chunk_ms": round(med * 1e3, 1),
              "tick_ms": round(med / K * 1e3, 3),
              "flops_per_chunk": flops,
@@ -431,7 +443,8 @@ def main():
           f"t0={meta['t0_ms']:.0f}ms trace={stats['trace_s']}s "
           f"lower={stats['lower_s']}s compile={stats['compile_s']}s "
           f"warm_compile={stats['warm_compile_s']}s "
-          f"warm={stats['warm_s']}s chunk={stats['chunk_ms']}ms "
+          f"warm={stats['warm_s']}s warm_steady={stats['warm_steady_s']}s "
+          f"chunk={stats['chunk_ms']}ms "
           f"tick={stats['tick_ms']}ms "
           f"feasible_frac={health['feasible_frac']:.3f} "
           f"track_err_mean={health['track_err_mean_m']:.3f}m "
@@ -461,6 +474,7 @@ def main():
         "vs_baseline": round(stats["solves_per_s"] / 1000.0, 3),
         "tick_ms": stats["tick_ms"],
         "warm_s": stats["warm_s"],
+        "warm_steady_s": stats["warm_steady_s"],
         "compile_s": stats["compile_s"],
         "solver": meta["solver"],
     }

@@ -897,6 +897,69 @@ def solve_fixed(spec, settings: SolverSettings, params, xs_init, us_init,
         xreg=out.xreg, failed=out.failed, trace=None)
 
 
+@P.highest_matmul
+def solve_fixed_batched(spec, settings: SolverSettings, params_b, xs_b, us_b,
+                        depth: int, th_stop, reg_init=1e-9,
+                        feasible_init=None, *, ddp=False, box: bool = False,
+                        maxiter=None, n_alphas: Optional[int] = None):
+    """Batch-AWARE fixed-depth solve: like vmap(:func:`solve_fixed`) but
+    with the scenario axis INSIDE the driver, so callers (the SbFDDP tick)
+    can gate whole stages on scalar batch-wide predicates — a real XLA
+    conditional that skips compute, where vmap(cond) degrades to a select
+    that always pays both branches.
+
+    ``params_b``: fully batched parameter pytree (every leaf with leading
+    B — vmap of the controller's update_problem produces this).
+    ``maxiter``: scalar or (B,) per-element iteration mask. Per-element
+    math and masking are IDENTICAL to :func:`solve_fixed` (the iteration
+    body is the same ``_fixed_iteration`` under vmap); equivalence is
+    pinned by tests/test_fixed.py in f64."""
+    B = xs_b.shape[0]
+    dtype = xs_b.dtype
+    ddp = jnp.asarray(ddp)
+    n_alphas = settings.n_alphas if n_alphas is None else n_alphas
+    if feasible_init is None:
+        feasible_init = jnp.zeros((B,), bool)
+    else:
+        feasible_init = jnp.broadcast_to(jnp.asarray(feasible_init), (B,))
+    maxiter_b = jnp.broadcast_to(
+        jnp.asarray(depth if maxiter is None else maxiter, jnp.int32), (B,))
+
+    init = _FixedCarry(
+        xs=xs_b, us=us_b,
+        cost=jnp.full((B,), jnp.inf, dtype=dtype),
+        feasible=feasible_init,
+        xreg=jnp.full((B,), reg_init, dtype=dtype),
+        ureg=jnp.full((B,), reg_init, dtype=dtype),
+        it=jnp.zeros((B,), jnp.int32),
+        stop_val=jnp.full((B,), jnp.inf, dtype=dtype),
+        gap_norm=jnp.full((B,), jnp.inf, dtype=dtype),
+        done=jnp.zeros((B,), bool),
+        failed=jnp.zeros((B,), bool),
+    )
+
+    th_stop_a = jnp.asarray(th_stop, dtype=dtype)
+
+    def body(s, i):
+        active = (~s.done) & (~s.failed) & (i < maxiter_b)  # (B,)
+        s2 = jax.vmap(
+            lambda s1, p1: _fixed_iteration(spec, settings, p1, s1, ddp,
+                                            th_stop_a, box, n_alphas)
+        )(s, params_b)
+
+        def sel(a, b):
+            mask = active.reshape((B,) + (1,) * (a.ndim - 1))
+            return jnp.where(mask, a, b)
+
+        return jax.tree_util.tree_map(sel, s2, s), None
+
+    out, _ = jax.lax.scan(body, init, jnp.arange(depth, dtype=jnp.int32))
+    return SolveResult(
+        xs=out.xs, us=out.us, cost=out.cost, iters=out.it,
+        feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,
+        xreg=out.xreg, failed=out.failed, trace=None)
+
+
 def default_init(spec, params, dtype=None):
     """Default candidate: x0 replicated, zero controls (infeasible start)."""
     dtype = dtype or params.x0.dtype

@@ -203,6 +203,99 @@ def solve(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
 
 
 @P.highest_matmul
+def solve_fixed_batched(spec: P.ProblemSpec, params_b, xs_b, us_b,
+                        depth: int = 2,
+                        settings: Optional[SbFddpSettings] = None,
+                        n_alphas: Optional[int] = None,
+                        polish: str = "while") -> SbFddpResult:
+    """Batch-aware fixed-depth SbFDDP — the benchmark tick driver.
+
+    Same stage semantics as :func:`solve_fixed`, but the scenario axis
+    lives INSIDE the driver (``params_b``/``xs_b``/``us_b`` batched, e.g.
+    by vmapping the controller's update_problem), which buys the one thing
+    vmap cannot express: the DDP polish runs under a REAL scalar
+    conditional ``any(infeasible)`` — when the whole batch is feasible
+    (the common warm tick) the polish costs nothing.
+
+    ``polish`` selects the gated branch's body: "while" (default — the
+    per-element early-exit solver; ticks where the polish fires for a few
+    stage-transition elements pay only the iterations those elements
+    need), "fixed" (bounded fixed-depth body — right for cold batched
+    solves where most elements polish), or "none". Per-element math is
+    identical to vmap(:func:`solve_fixed`) with the same polish choice
+    (pinned in f64 by tests/test_fixed.py)."""
+    settings = settings or SbFddpSettings()
+    params_b = P.as_device(params_b)
+    B = xs_b.shape[0]
+    dtype = xs_b.dtype
+    n = settings.n_stages
+    smooths = [settings.smooth_init * settings.smooth_mult ** k
+               for k in range(n)]
+    th_stops = [settings.convergence_init * settings.convergence_mult ** k
+                for k in range(n)]
+    final_smooth = smooths[-1]
+
+    def set_homotopy_b(smooth):
+        return jax.vmap(lambda p: _set_homotopy(spec, p, smooth))(params_b)
+
+    xs, us = xs_b, us_b
+    feas = jnp.zeros((B,), bool)
+    iters = jnp.zeros((B,), jnp.int32)
+    failed = jnp.zeros((B,), bool)
+
+    for k in range(n):
+        res = fddp.solve_fixed_batched(
+            spec, settings.solver, set_homotopy_b(smooths[k]), xs, us, depth,
+            jnp.asarray(th_stops[k], dtype), settings.reg_init,
+            ddp=False, n_alphas=n_alphas)
+        xs, us, feas = res.xs, res.us, res.feasible
+        iters = iters + res.iters
+        failed = failed | res.failed
+    cost = res.cost
+
+    # DDP polish under a scalar conditional: skipped entirely when every
+    # scenario is feasible (src/sbfddp.cpp:217-219 runs it only when
+    # infeasible; here "only when" is batch-granular and actually free)
+    params_f = set_homotopy_b(final_smooth)
+
+    def run_polish(carry):
+        xs, us, feas, iters, failed, cost = carry
+        maxiter_p = jnp.where(feas, 0, depth)
+        th = jnp.asarray(settings.convergence_stop, dtype)
+        if polish == "fixed":
+            res_p = fddp.solve_fixed_batched(
+                spec, settings.solver, params_f, xs, us, depth,
+                th, settings.reg_init, ddp=True, maxiter=maxiter_p)
+        else:
+            res_p = jax.vmap(
+                lambda p, xs1, us1, mi: fddp.solve_fddp_or_ddp(
+                    spec, settings.solver, p, xs1, us1, mi, th,
+                    settings.reg_init, jnp.zeros((), bool), ddp=True,
+                    final_cost_fallback=False)
+            )(params_f, xs, us, maxiter_p)
+        sel = lambda a, b: jnp.where(
+            feas.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+        return (sel(xs, res_p.xs), sel(us, res_p.us), feas | res_p.feasible,
+                iters + res_p.iters, failed | (~feas & res_p.failed),
+                jnp.where(feas, cost, res_p.cost))
+
+    carry = (xs, us, feas, iters, failed, cost)
+    if polish == "none":
+        feas_out = feas
+    else:
+        xs, us, feas_out, iters, failed, cost = jax.lax.cond(
+            jnp.any(~feas), run_polish, lambda c: c, carry)
+
+    us_squash = jax.vmap(
+        lambda p, u: P.squashed_controls(
+            spec, _set_homotopy(spec, p, final_smooth), u))(params_b, us)
+    return SbFddpResult(xs=xs, us=us, us_squash=us_squash, cost=cost,
+                        iters=iters, feasible=feas_out, failed=failed,
+                        smooth=jnp.full((B,), final_smooth, dtype=dtype),
+                        trace=None)
+
+
+@P.highest_matmul
 def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
                 us_init=None, depth: int = 2, feasible: bool = False,
                 settings: Optional[SbFddpSettings] = None,

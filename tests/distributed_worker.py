@@ -63,11 +63,27 @@ def main():
     bsh = mesh_mod.batch_sharding(mesh)
     rep = mesh_mod.replicated(mesh)
 
-    @jax.jit
-    def solve_batch(params, x0s):
-        def one(x0):
-            return sbfddp.solve(spec, params._replace(x0=x0), maxiter=40)
-        return jax.vmap(one)(x0s)
+    solver_kind = os.environ.get("EAGLE_MPC_SOLVER", "while")
+
+    if solver_kind == "fixed":
+        # fixed-depth batch-aware solver: deterministic per-element work,
+        # so weak scaling measures pure coordination overhead instead of
+        # lockstep load imbalance (tools/scaling_bench.py selects this)
+        from eagle_mpc_tpu.solvers import fddp as fddp_mod
+
+        @jax.jit
+        def solve_batch(params, x0s):
+            params_b = jax.vmap(lambda x0: params._replace(x0=x0))(x0s)
+            xs0 = jnp.tile(x0s[:, None, :], (1, spec.T + 1, 1))
+            us0 = jnp.zeros((x0s.shape[0], spec.T, spec.nu), x0s.dtype)
+            return sbfddp.solve_fixed_batched(spec, params_b, xs0, us0,
+                                              depth=40, polish="fixed")
+    else:
+        @jax.jit
+        def solve_batch(params, x0s):
+            def one(x0):
+                return sbfddp.solve(spec, params._replace(x0=x0), maxiter=40)
+            return jax.vmap(one)(x0s)
 
     params_rep = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
                                         P.as_device(params))

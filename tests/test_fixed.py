@@ -131,6 +131,59 @@ class TestFixedTick:
         assert np.all(np.isfinite(np.asarray(res.cost)))
 
 
+class TestBatchedDriver:
+    def test_matches_vmapped_fixed_bitwise(self):
+        """solve_fixed_batched (batch axis inside, scalar-cond polish) must
+        be numerically IDENTICAL to vmap(solve_fixed(polish='fixed')) —
+        same iteration body, different batching structure."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        B = 4
+        rng = np.random.default_rng(0)
+        noise = rng.normal(size=(B, traj.model.nx)) * 0.05
+        noise[:, 3:7] = 0.0
+        x0b = jnp.asarray(np.asarray(traj.initial_state)[None] + noise)
+        params_b = jax.vmap(
+            lambda x0: P.as_device(params)._replace(x0=x0))(x0b)
+        xs0 = jnp.tile(x0b[:, None, :], (1, spec.T + 1, 1))
+        us0 = jnp.zeros((B, spec.T, spec.nu))
+        ra = jax.jit(lambda pb, xs, us: sbfddp.solve_fixed_batched(
+            spec, pb, xs, us, depth=30))(params_b, xs0, us0)
+        rb = jax.jit(jax.vmap(lambda p, xs, us: sbfddp.solve_fixed(
+            spec, p, xs, us, depth=30, polish="fixed")))(params_b, xs0, us0)
+        assert np.all(np.asarray(ra.feasible))
+        np.testing.assert_array_equal(np.asarray(ra.iters),
+                                      np.asarray(rb.iters))
+        np.testing.assert_array_equal(np.asarray(ra.us_squash),
+                                      np.asarray(rb.us_squash))
+        np.testing.assert_array_equal(np.asarray(ra.xs), np.asarray(rb.xs))
+
+    def test_polish_cond_skipped_when_feasible(self):
+        """When every element ends the homotopy feasible, the scalar-cond
+        polish must contribute zero iterations."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        B = 2
+        x0b = jnp.tile(jnp.asarray(traj.initial_state)[None], (B, 1))
+        params_b = jax.vmap(
+            lambda x0: P.as_device(params)._replace(x0=x0))(x0b)
+        xs0 = jnp.tile(x0b[:, None, :], (1, spec.T + 1, 1))
+        us0 = jnp.zeros((B, spec.T, spec.nu))
+        ra = jax.jit(lambda pb, xs, us: sbfddp.solve_fixed_batched(
+            spec, pb, xs, us, depth=30))(params_b, xs0, us0)
+        rp = jax.jit(jax.vmap(lambda p, xs, us: sbfddp.solve_fixed(
+            spec, p, xs, us, depth=30, polish="none")))(params_b, xs0, us0)
+        assert np.all(np.asarray(ra.feasible))
+        np.testing.assert_array_equal(np.asarray(ra.iters),
+                                      np.asarray(rp.iters))
+
+
 class TestFixedBox:
     def test_box_fddp_fixed_matches_while(self):
         traj = specs.load_trajectory("iris/trajectories/hover.yaml",

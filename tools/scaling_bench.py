@@ -32,7 +32,7 @@ def _free_port():
     return port
 
 
-def run_job(n_hosts: int, per_host: int, reps: int = 5):
+def run_job(n_hosts: int, per_host: int, reps: int = 5, solver: str = "fixed"):
     port = _free_port()
     procs = []
     for pid in range(n_hosts):
@@ -45,6 +45,7 @@ def run_job(n_hosts: int, per_host: int, reps: int = 5):
             "EAGLE_MPC_LOCAL_DEVICES": "1",
             "EAGLE_MPC_GLOBAL_BATCH": str(per_host * n_hosts),
             "EAGLE_MPC_TIME_REPS": str(reps),
+            "EAGLE_MPC_SOLVER": solver,
             "JAX_CACHE_DIR": env.get("JAX_CACHE_DIR",
                                      os.path.expanduser("~/.cache/jax")),
         })
@@ -68,11 +69,15 @@ def main():
     ap.add_argument("--hosts", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--per-host", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--solver", choices=["fixed", "while"], default="fixed",
+                    help="fixed: deterministic per-element work (weak "
+                         "scaling measures coordination, not lockstep "
+                         "imbalance); while: round-3 comparison path")
     args = ap.parse_args()
 
     rows = []
     for n in args.hosts:
-        res = run_job(n, args.per_host, args.reps)
+        res = run_job(n, args.per_host, args.reps, args.solver)
         sps = res[0]["solves_per_s"]
         rows.append((n, args.per_host * n, sps))
         print(f"hosts={n:2d} global_batch={args.per_host * n:4d} "
