@@ -146,24 +146,29 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
         spec = ctrl.spec
 
         def run_chunk(params, t0_ms, xb, xs, us):
-            """K chained closed-loop MPC ticks for B scenarios (batch-aware
-            fixed-depth solver; budget = mpc_controller/iters). The DDP
-            polish runs under a scalar any(infeasible) conditional — free
-            on the all-feasible warm ticks, bounded when it fires."""
+            """K chained closed-loop MPC ticks for B scenarios (fixed-depth
+            solver, per-element vmap, while-polish). Measured FASTER per
+            tick than the batch-aware scalar-cond driver (376 vs 409 ms
+            realistic / 236 vs 264 ms steady at B=512 on the v5e — the
+            per-tick lax.cond costs more than it saves); the batch-aware
+            driver still owns the WARM solve, where its bounded polish is
+            a 60x win."""
 
             def tick(carry, _):
                 t_ms, xb, xs, us = carry
-                t_full = jnp.full((xb.shape[0],), t_ms, dtype)
-                params_b = jax.vmap(
-                    lambda t, x0: ctrl.update_problem(
-                        t, params._replace(x0=x0)))(t_full, xb)
-                r = sbfddp.solve_fixed_batched(spec, params_b, xs, us,
-                                               depth=mp.iters,
-                                               settings=sbs_tick,
-                                               n_alphas=n_alphas)
-                xb = jax.vmap(sim.step)(xb, r.us_squash[:, 0])
-                return (t_ms + DT_SIM, xb, r.xs, r.us), (
-                    r.cost.mean(), r.feasible.astype(dtype).mean())
+
+                def one(t, x0, xs, us):
+                    p = ctrl.update_problem(t, params._replace(x0=x0))
+                    r = sbfddp.solve_fixed(spec, p, xs, us, depth=mp.iters,
+                                           settings=sbs_tick,
+                                           n_alphas=n_alphas)
+                    x_next = sim.step(x0, r.us_squash[0])
+                    return x_next, r.xs, r.us, r.cost, r.feasible
+
+                xb, xs, us, cost, feas = jax.vmap(one)(
+                    jnp.full((xb.shape[0],), t_ms, dtype), xb, xs, us)
+                return (t_ms + DT_SIM, xb, xs, us), (cost.mean(),
+                                                     feas.astype(dtype).mean())
 
             (t_ms, xb, xs, us), (costs, feas) = jax.lax.scan(
                 tick, (t0_ms, xb, xs, us), None, length=ticks)
