@@ -230,22 +230,53 @@ def make_reference_sampler(state, state_ref: np.ndarray, t_ref: np.ndarray,
         q_hold[3:7] = quat
     x_hold_h = np.concatenate([q_hold, np.zeros(state.nv)]).astype(dtype)
 
+    # TPU-shaped lookup (profiled on the v5e, see BASELINE.md round 4):
+    # - the reference timeline is a UNIFORM grid, so the interval index is
+    #   arithmetic — jnp.searchsorted lowers to a while-loop binary search
+    #   that cost ~18 ms per gather at B x T = 15360 nodes;
+    # - rows are fetched by ONE-HOT MATMUL against the (N, nx) table: a
+    #   dynamic row gather lowers to a while + per-index dynamic-update-
+    #   slice storm on TPU (~50 ms/tick across the four fetches), while the
+    #   (nodes, N) x (N, nx) product rides the MXU in microseconds.
+    dt_grid = float(t_ref_h[1] - t_ref_h[0]) if N > 1 else 1.0
+    uniform = N > 1 and np.allclose(np.diff(t_ref_h), dt_grid)
+
     def sample(t_ms):
         state_ref = jnp.asarray(state_ref_h)
-        t_ref = jnp.asarray(t_ref_h)
         x_hold = jnp.asarray(x_hold_h)
         t_ms = jnp.asarray(t_ms, dtype=dtype)
-        idx = jnp.searchsorted(t_ref, t_ms, side="right")
+        if uniform:
+            pos = t_ms / jnp.asarray(dt_grid, dtype)
+            idx = jnp.floor(pos).astype(jnp.int32) + 1
+        else:
+            t_ref = jnp.asarray(t_ref_h)
+            idx = jnp.searchsorted(t_ref, t_ms, side="right").astype(jnp.int32)
         hold = idx >= N
         i1 = jnp.clip(idx, 1, N - 1)
         i0 = i1 - 1
-        alpha = (t_ms - t_ref[i0]) / (t_ref[i1] - t_ref[i0])
-        q = state.interpolate_config(state_ref[i0, :nq], state_ref[i1, :nq], alpha)
-        v = state_ref[i0, nq:] + alpha * (state_ref[i1, nq:] - state_ref[i0, nq:])
+        t0 = i0.astype(dtype) * jnp.asarray(dt_grid, dtype) if uniform \
+            else jnp.asarray(t_ref_h)[i0]
+        t1 = i1.astype(dtype) * jnp.asarray(dt_grid, dtype) if uniform \
+            else jnp.asarray(t_ref_h)[i1]
+        alpha = (t_ms - t0) / (t1 - t0)
+        rows = jnp.arange(N, dtype=jnp.int32)
+        x0 = (rows == i0).astype(dtype) @ state_ref
+        x1 = (rows == i1).astype(dtype) @ state_ref
+        q = state.interpolate_config(x0[:nq], x1[:nq], alpha)
+        v = x0[nq:] + alpha * (x1[nq:] - x0[nq:])
         x = jnp.concatenate([q, v])
         return jnp.where(hold, x_hold, x)
 
     return sample
+
+
+def stage_index(t_stages, t):
+    """upper_bound(t_stages, t) - 1 for a TINY boundary table: a broadcast
+    comparison count — jnp.searchsorted lowers to a while-loop binary
+    search on TPU, measured far slower at these sizes (BASELINE.md r4)."""
+    t = jnp.asarray(t)
+    return (jnp.sum(t[..., None] >= t_stages, axis=-1)
+            .astype(jnp.int32) - 1)
 
 
 def stage_boundaries(stages, dt_ms: int) -> np.ndarray:

@@ -111,10 +111,13 @@ class CarrotMpc(base.MpcAbstract):
         dtype = params.x0.dtype
         node_time = jnp.asarray(t_ms, dtype) + jnp.arange(T + 1, dtype=dtype) * self.dt
 
-        # active stage per node: upper_bound(t_stages, t) - 1
-        idx_stage = jnp.searchsorted(
-            jnp.asarray(self._t_stages.astype(dtype)), node_time,
-            side="right") - 1
+        # active stage per node: upper_bound(t_stages, t) - 1. The table is
+        # tiny (n_stages + 1), so a broadcast comparison-count beats
+        # jnp.searchsorted (which lowers to a while-loop binary search on
+        # TPU; see BASELINE.md round-4 profile)
+        t_stages = jnp.asarray(self._t_stages.astype(dtype))
+        idx_stage = jnp.sum(node_time[:, None] >= t_stages[None, :],
+                            axis=1).astype(jnp.int32) - 1
         beyond = idx_stage >= self._n_stages
         stage_c = jnp.clip(idx_stage, 0, self._n_stages - 1)
         is_transition = jnp.asarray(self._transition)[stage_c]

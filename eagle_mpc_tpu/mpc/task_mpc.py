@@ -89,9 +89,8 @@ class TaskActivatedCarrotMpc(base.MpcAbstract):
         t_stages = jnp.asarray(self._t_stages.astype(dtype))
         node_time = jnp.asarray(t_ms, dtype) + \
             jnp.arange(T + 1, dtype=dtype) * self.dt
-        raw = jnp.searchsorted(t_stages, node_time, side="right") - 1
-        last0 = jnp.searchsorted(t_stages, jnp.asarray(t_ms, dtype),
-                                 side="right") - 1
+        raw = base.stage_index(t_stages, node_time)
+        last0 = base.stage_index(t_stages, jnp.asarray(t_ms, dtype))
 
         def step(last, r):
             idx = jnp.where(r == last + 2, r - 1, r)

@@ -404,23 +404,31 @@ def node_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
     # unpack
     Fxu = J[:ndx]
     Fx, Fu = Fxu[:, :ndx], Fxu[:, ndx:]
+    # Gauss-Newton assembly as ONE weighted GEMM pair over the stacked
+    # residual rows (instead of 2 GEMMs per slot per quadrature point):
+    # g = J_r^T (w . A_r), H = J_r^T diag(w . A_rr) J_r — the per-slot sum
+    # is exactly the row-concatenated product. At B=512 x T=29 this cut the
+    # assembly phase from ~10 ms to the cost of two batched GEMMs.
     cost = jnp.zeros((), dtype=dtype)
-    g = jnp.zeros(ndx + nu, dtype=dtype)
-    H = jnp.zeros((ndx + nu, ndx + nu), dtype=dtype)
+    gAr, gArr = [], []
     off = ndx
     for ipt in range(n_pts):
         coeff = coeffs[ipt]
         for k, slot in enumerate(spec.slots):
             nr = slot.nr
             r = val0[off : off + nr]
-            Jr = J[off : off + nr]
             off += nr
             a, Ar, Arr = C.activation(slot.activation, r, glob.act_w[k],
                                       glob.lb[k], glob.ub[k])
             wk = coeff * view.weight[k] * view.active[k]
             cost = cost + wk * a
-            g = g + wk * (Jr.T @ Ar)
-            H = H + wk * (Jr.T @ (Arr[:, None] * Jr))
+            gAr.append(wk * Ar)
+            gArr.append(wk * Arr)
+    J_res = J[ndx:]
+    wAr = jnp.concatenate(gAr)
+    wArr = jnp.concatenate(gArr)
+    g = J_res.T @ wAr
+    H = J_res.T @ (wArr[:, None] * J_res)
 
     return NodeDerivatives(
         cost=cost, xnext=xnext0, Fx=Fx, Fu=Fu,
@@ -445,20 +453,22 @@ def terminal_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x)
     J = jax.vmap(jvp)(jnp.eye(ndx, dtype=dtype)).T
 
     cost = jnp.zeros((), dtype=dtype)
-    Lx = jnp.zeros(ndx, dtype=dtype)
-    Lxx = jnp.zeros((ndx, ndx), dtype=dtype)
+    gAr, gArr = [], []
     off = 0
     for k, slot in enumerate(spec.slots):
         nr = slot.nr
         r = val0[off : off + nr]
-        Jr = J[off : off + nr]
         off += nr
         a, Ar, Arr = C.activation(slot.activation, r, glob.act_w[k],
                                   glob.lb[k], glob.ub[k])
         wk = view.weight[k] * view.active[k]
         cost = cost + wk * a
-        Lx = Lx + wk * (Jr.T @ Ar)
-        Lxx = Lxx + wk * (Jr.T @ (Arr[:, None] * Jr))
+        gAr.append(wk * Ar)
+        gArr.append(wk * Arr)
+    wAr = jnp.concatenate(gAr)
+    wArr = jnp.concatenate(gArr)
+    Lx = J.T @ wAr
+    Lxx = J.T @ (wArr[:, None] * J)
     return cost, Lx, Lxx
 
 

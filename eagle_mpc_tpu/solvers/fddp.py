@@ -422,7 +422,7 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
     th_div = jnp.asarray(th_diverge, dtype=xs.dtype)
 
     def step(carry, inp):
-        xnext, cost_acc, diverged = carry
+        xnext, cost_acc = carry
         x_t, u_t, k_t, K_t, f_t, view = inp
         x_try = jnp.where(keep_gaps, st.integrate(xnext, f_t * (alpha - 1.0)), xnext)
         dx = st.diff(x_t, x_try)
@@ -430,18 +430,30 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
         if box:
             u_try = jnp.clip(u_try, params.glob.s_lb, params.glob.s_ub)
         xn, c, _ = P.node_calc(spec, view, params.glob, x_try, u_try)
-        bad = (~jnp.isfinite(c) | ~jnp.all(jnp.isfinite(xn))
-               | (cost_acc + c >= th_div) | (jnp.max(jnp.abs(xn)) >= th_div))
-        return (xn, cost_acc + c, diverged | bad), (x_try, u_try)
+        return (xn, cost_acc + c), (x_try, u_try, c)
 
-    init = (params.x0, jnp.zeros((), dtype=xs.dtype), jnp.zeros((), dtype=bool))
-    (xnext, cost_try, diverged), (xs_try, us_try) = jax.lax.scan(
+    init = (params.x0, jnp.zeros((), dtype=xs.dtype))
+    (xnext, cost_try), (xs_try, us_try, cs) = jax.lax.scan(
         step, init, (xs[: spec.T], us, bp.k, bp.K, fs[:-1], views),
         unroll=unroll)
     xT_try = jnp.where(keep_gaps, st.integrate(xnext, fs[-1] * (alpha - 1.0)), xnext)
     cT = P.terminal_calc(spec, P.node_view(params.node, spec.T), params.glob, xT_try)
     cost_try = cost_try + cT
-    diverged = diverged | ~jnp.isfinite(cost_try) | (cost_try >= th_div)
+    # divergence detection VECTORIZED OVER THE HORIZON after the rollout —
+    # crocoddyl's per-step raiseIfNaN (src/sbfddp.cpp:444-448) only
+    # influences the accept decision, never the rollout itself, so the
+    # checks need not live inside the sequential scan (measured ~30 ms/tick
+    # of per-step guard reductions at B=512, BASELINE.md r4 profile).
+    # NaN states propagate to later steps, so checking the stacked arrays
+    # post-hoc flags exactly the same rollouts; the running-cost bound uses
+    # the cumulative sums of the collected per-step costs.
+    cost_cum = jnp.cumsum(cs)
+    diverged = (~jnp.all(jnp.isfinite(xs_try))
+                | (jnp.max(jnp.abs(xs_try)) >= th_div)
+                | ~jnp.all(jnp.isfinite(cost_cum))
+                | (jnp.max(cost_cum) >= th_div)
+                | ~jnp.isfinite(cost_try) | (cost_try >= th_div)
+                | (jnp.max(jnp.abs(xT_try)) >= th_div))
     xs_try = jnp.concatenate([xs_try, xT_try[None]], axis=0)
     return xs_try, us_try, cost_try, diverged
 
