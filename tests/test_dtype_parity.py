@@ -96,22 +96,30 @@ class TestDtypeParity:
         from eagle_mpc_tpu.dynamics import rbd
 
         rel = "hexacopter370_flying_arm_3/trajectories/monkey_bar.yaml"
+        traj = specs.load_trajectory(rel, yaml_dir=MISSIONS)
+        # dt = 40 ms as in tests/test_contacts.py: the contact is
+        # acceleration-level with zero Baumgarte gains, so the positional
+        # drift of the pinned point grows with the discretization — at
+        # dt = 60 the hold tolerance would have to be meaninglessly loose
+        dt = 40
         for dtype in (jnp.float64, jnp.float32):
-            spec, res = _solve(rel, 60, dtype)
+            spec, params = P.from_trajectory(
+                traj, dt_ms=dt, use_squash=True,
+                integrator="IntegratedActionModelEuler", dtype=dtype)
+            res = jax.jit(lambda p: sbfddp.solve(spec, p, maxiter=150))(params)
             assert not bool(res.failed), dtype
             assert np.isfinite(float(res.cost)), dtype
             fid = spec.contacts[0].frame_id
-            traj = specs.load_trajectory(rel, yaml_dir=MISSIONS)
             x0 = np.asarray(traj.initial_state)
             p0, _ = rbd.frame_placement(spec.model,
                                         jnp.asarray(x0[: spec.model.nq],
                                                     dtype), fid)
-            n_hang = 1200 // 60
-            for t in (1, n_hang // 2, n_hang - 1):
+            n_hang = 1200 // dt
+            for t, tol in ((1, 2e-2), (n_hang // 2, 0.1), (n_hang - 1, 0.15)):
                 p, _ = rbd.frame_placement(
                     spec.model, res.xs[t][: spec.model.nq], fid)
                 np.testing.assert_allclose(np.asarray(p), np.asarray(p0),
-                                           atol=0.1)
+                                           atol=tol)
 
 
 if __name__ == "__main__":
