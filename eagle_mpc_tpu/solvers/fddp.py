@@ -446,8 +446,12 @@ def _forward_pass(spec, params, xs, us, bp, fs, alpha, feasible, use_gaps,
     # of per-step guard reductions at B=512, BASELINE.md r4 profile).
     # NaN states propagate to later steps, so checking the stacked arrays
     # post-hoc flags exactly the same rollouts; the running-cost bound uses
-    # the cumulative sums of the collected per-step costs.
-    cost_cum = jnp.cumsum(cs)
+    # the cumulative sums of the collected per-step costs. The prefix sums
+    # ride a lower-triangular matmul: jnp.cumsum over the T axis lowers to
+    # a sequential while loop on TPU (measured ~17 ms per instance at
+    # B=512), the (T, T) tril contraction is one MXU op.
+    tril = jnp.tril(jnp.ones((spec.T, spec.T), dtype=cs.dtype))
+    cost_cum = tril @ cs
     diverged = (~jnp.all(jnp.isfinite(xs_try))
                 | (jnp.max(jnp.abs(xs_try)) >= th_div)
                 | ~jnp.all(jnp.isfinite(cost_cum))
