@@ -99,13 +99,21 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
                    scan_unroll: int = 1,
                    pallas_backward: bool = False,
                    solver_kind: str = "fixed",
-                   n_alphas: int = 4) -> Workload:
+                   n_alphas: int = 4,
+                   polish_iters: Optional[int] = 1) -> Workload:
     """Build the flagship closed-loop chunk program + its argument sets.
 
     Shared by bench.py and tools/compile_bench.py. jax must already be
     configured (platform/x64) by the caller. ``solver_kind``: "fixed" (the
     round-4 fixed-depth tick, default) or "while" (the round-3 while-loop
     solver sharing one program between warm and tick via HomotopySchedule).
+
+    ``polish_iters``: per-tick DDP-polish budget cap (measured knob,
+    BASELINE.md r4): the polish's first iteration restores dynamic
+    feasibility; the default cap of 1 is a DOCUMENTED deviation from the
+    reference's shared iters budget (pinned by tests/test_fixed.py::
+    TestPolishBudget and by this bench's closed-loop health asserts —
+    feas 1.000, identical tracking envelope). None = reference budget.
     """
     import jax
     import jax.numpy as jnp
@@ -161,7 +169,9 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
                     p = ctrl.update_problem(t, params._replace(x0=x0))
                     r = sbfddp.solve_fixed(spec, p, xs, us, depth=mp.iters,
                                            settings=sbs_tick,
-                                           n_alphas=n_alphas)
+                                           n_alphas=n_alphas,
+                                           polish="while_fixed",
+                                           polish_maxiter=polish_iters)
                     x_next = sim.step(x0, r.us_squash[0])
                     return x_next, r.xs, r.us, r.cost, r.feasible
 
@@ -278,7 +288,9 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
                         scan_unroll=args.unroll,
                         pallas_backward=args.pallas,
                         solver_kind=solver_kind,
-                        n_alphas=args.alphas)
+                        n_alphas=args.alphas,
+                        polish_iters=(None if args.polish_iters <= 0
+                                      else args.polish_iters))
     K = args.ticks
 
     # AOT staging: trace / lower / XLA-compile measured separately so
@@ -398,6 +410,9 @@ def main():
                          "warm/tick program) instead of the fixed-depth tick")
     ap.add_argument("--alphas", type=int, default=4,
                     help="line-search ladder depth for the fixed tick")
+    ap.add_argument("--polish-iters", type=int, default=1,
+                    help="per-tick DDP polish budget cap (0 = reference "
+                         "budget, i.e. the full iters)")
     ap.add_argument("--pallas", action="store_true",
                     help="fuse the Riccati backward pass into one Pallas "
                          "kernel (ops/riccati_pallas.py)")

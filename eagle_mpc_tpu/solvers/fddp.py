@@ -914,6 +914,53 @@ def solve_fixed(spec, settings: SolverSettings, params, xs_init, us_init,
 
 
 @P.highest_matmul
+def solve_while_fixed_body(spec, settings: SolverSettings, params, xs_init,
+                           us_init, maxiter, th_stop, reg_init=1e-9,
+                           feasible_init=False, *, ddp=False,
+                           box: bool = False,
+                           n_alphas: Optional[int] = None):
+    """Early-exit while_loop over the FIXED iteration body: the while exits
+    immediately when ``maxiter`` is 0 (under vmap: when every element's
+    budget is 0 — the all-feasible polish case costs ~nothing), and a
+    fired iteration costs the fixed body's single backward pass +
+    batched-alpha rollout instead of the while-solver's nested retry
+    loops. Semantics: identical per-element math to :func:`solve_fixed`,
+    data-dependent trip count like :func:`solve_fddp_or_ddp`."""
+    params = P.as_device(params)
+    dtype = xs_init.dtype
+    ddp = jnp.asarray(ddp)
+    n_alphas = settings.n_alphas if n_alphas is None else n_alphas
+    maxiter = jnp.asarray(maxiter, jnp.int32)
+    th_stop_a = jnp.asarray(th_stop, dtype=dtype)
+
+    init = _FixedCarry(
+        xs=xs_init, us=us_init,
+        cost=jnp.asarray(jnp.inf, dtype=dtype),
+        feasible=jnp.asarray(feasible_init),
+        xreg=jnp.asarray(reg_init, dtype=dtype),
+        ureg=jnp.asarray(reg_init, dtype=dtype),
+        it=jnp.zeros((), jnp.int32),
+        stop_val=jnp.asarray(jnp.inf, dtype=dtype),
+        gap_norm=jnp.asarray(jnp.inf, dtype=dtype),
+        done=jnp.zeros((), bool),
+        failed=jnp.zeros((), bool),
+    )
+
+    def cond(s):
+        return (s.it < maxiter) & ~s.done & ~s.failed
+
+    def body(s):
+        return _fixed_iteration(spec, settings, params, s, ddp, th_stop_a,
+                                box, n_alphas)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        xs=out.xs, us=out.us, cost=out.cost, iters=out.it,
+        feasible=out.feasible, stop=out.stop_val, gap_norm=out.gap_norm,
+        xreg=out.xreg, failed=out.failed, trace=None)
+
+
+@P.highest_matmul
 def solve_fixed_batched(spec, settings: SolverSettings, params_b, xs_b, us_b,
                         depth: int, th_stop, reg_init=1e-9,
                         feasible_init=None, *, ddp=False, box: bool = False,

@@ -300,7 +300,8 @@ def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
                 us_init=None, depth: int = 2, feasible: bool = False,
                 settings: Optional[SbFddpSettings] = None,
                 n_alphas: Optional[int] = None,
-                polish: str = "while") -> SbFddpResult:
+                polish: str = "while",
+                polish_maxiter: Optional[int] = None) -> SbFddpResult:
     """Fixed-depth SbFDDP solve — the MPC-tick fast path.
 
     Same homotopy semantics as :func:`solve` (squash smoothness + barrier
@@ -378,14 +379,28 @@ def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
         iters = iters + res.iters
         failed = failed | res.failed
 
-    # DDP polish for still-infeasible candidates (src/sbfddp.cpp:217-219)
+    # DDP polish for still-infeasible candidates (src/sbfddp.cpp:217-219).
+    # ``polish_maxiter`` caps the polish budget below the stage depth: the
+    # polish's first iteration restores dynamic feasibility (the DDP
+    # accept is unconditional for infeasible candidates); further
+    # iterations only trim cost, and in a warm-started MPC loop the next
+    # tick re-solves anyway. Default None = reference budget (= depth).
     params_f = _set_homotopy(spec, params, final_smooth)
-    maxiter_p = jnp.where(feas, 0, depth)
+    budget = depth if polish_maxiter is None else min(polish_maxiter, depth)
+    maxiter_p = jnp.where(feas, 0, budget)
     if polish == "while":
         res_p = fddp.solve_fddp_or_ddp(
             spec, settings.solver, params_f, xs, us, maxiter_p,
             jnp.asarray(settings.convergence_stop, dtype), settings.reg_init,
             jnp.zeros((), bool), ddp=True, final_cost_fallback=False)
+    elif polish == "while_fixed":
+        # early-exit while (free when maxiter_p == 0 under vmap) whose BODY
+        # is the cheap fixed iteration — one backward pass, batched-alpha
+        # ladder — instead of the while-solver's nested-loop iteration
+        res_p = fddp.solve_while_fixed_body(
+            spec, settings.solver, params_f, xs, us, maxiter_p,
+            jnp.asarray(settings.convergence_stop, dtype), settings.reg_init,
+            jnp.zeros((), bool), ddp=True, n_alphas=n_alphas)
     elif polish == "fixed":
         res_p = fddp.solve_fixed(
             spec, settings.solver, params_f, xs, us, depth,
@@ -395,7 +410,8 @@ def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     elif polish == "none":
         res_p = None
     else:
-        raise ValueError(f"polish must be while|fixed|none, got {polish!r}")
+        raise ValueError(
+            f"polish must be while|while_fixed|fixed|none, got {polish!r}")
     if res_p is not None:
         xs = jnp.where(feas, xs, res_p.xs)
         us = jnp.where(feas, us, res_p.us)

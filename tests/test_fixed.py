@@ -245,6 +245,33 @@ class TestPolishVariants:
         assert bool(polished.feasible)
 
 
+class TestPolishBudget:
+    def test_budget1_polish_restores_feasibility(self):
+        """The bench's polish_maxiter=1 deviation (BASELINE.md r4): one
+        DDP-polish iteration must restore dynamic feasibility of an
+        infeasible post-stage candidate — the DDP accept is unconditional
+        for infeasible candidates, so iteration 1 rolls the candidate out
+        and the further budget only trims cost."""
+        traj = specs.load_trajectory("iris/trajectories/hover.yaml",
+                                     yaml_dir=MISSIONS)
+        spec, params = P.from_trajectory(
+            traj, dt_ms=40, use_squash=True,
+            integrator="IntegratedActionModelEuler")
+        starved = jax.jit(lambda p: sbfddp.solve_fixed(
+            spec, p, depth=1, polish="none"))(params)
+        assert not bool(starved.feasible)
+        one = jax.jit(lambda p: sbfddp.solve_fixed(
+            spec, p, depth=1, polish="while_fixed",
+            polish_maxiter=1))(params)
+        assert bool(one.feasible)
+        # and the while_fixed body matches the while-solver polish exactly
+        # when both get the same budget
+        ref = jax.jit(lambda p: sbfddp.solve_fixed(
+            spec, p, depth=1, polish="while", polish_maxiter=1))(params)
+        np.testing.assert_allclose(np.asarray(one.us_squash),
+                                   np.asarray(ref.us_squash), atol=1e-9)
+
+
 class TestFixedDeviation:
     def test_escalation_consumes_iteration_but_recovers(self):
         """The ONE semantic deviation of the fixed path: a failed backward
