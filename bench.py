@@ -79,18 +79,11 @@ class Workload(NamedTuple):
 
 
 def _load_ref(traj, synthetic: bool):
-    """Offline reference: cached real solve, else synthetic glide."""
-    from tools.make_ref import ref_path
+    """Offline reference: cached real solve, else synthetic glide
+    (single implementation: tools.make_ref.load_ref)."""
+    from tools.make_ref import load_ref
 
-    path = ref_path(ROBOT, MISSION, DT_REF)
-    if not synthetic and os.path.exists(path):
-        with np.load(path) as z:
-            return z["xs"].copy(), "offline"
-    n_ref = traj.duration // DT_REF + 1
-    ref = np.tile(np.asarray(traj.initial_state), (n_ref, 1))
-    ref[:, 0] = np.linspace(0.0, 2.0, n_ref)
-    ref[:, 1] = np.linspace(0.0, 0.5, n_ref)
-    return ref, "synthetic"
+    return load_ref(ROBOT, MISSION, DT_REF, traj=traj, synthetic=synthetic)
 
 
 def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
@@ -98,6 +91,7 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
                    parallel_riccati: bool = False,
                    scan_unroll: int = 1,
                    pallas_backward: bool = False,
+                   pallas_nodes: bool = False,
                    solver_kind: str = "fixed",
                    n_alphas: int = 4,
                    polish_iters: Optional[int] = 1) -> Workload:
@@ -145,7 +139,8 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
 
     solver_settings = fddp.SolverSettings(parallel_riccati=parallel_riccati,
                                           scan_unroll=scan_unroll,
-                                          pallas_backward=pallas_backward)
+                                          pallas_backward=pallas_backward,
+                                          pallas_nodes=pallas_nodes)
     settings = sbfddp.SbFddpSettings(solver=solver_settings)
     sbs_tick = sbfddp.SbFddpSettings(convergence_init=1e-3,
                                      solver=solver_settings)
@@ -287,6 +282,7 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
                         parallel_riccati=args.priccati,
                         scan_unroll=args.unroll,
                         pallas_backward=args.pallas,
+                        pallas_nodes=args.pallas_nodes,
                         solver_kind=solver_kind,
                         n_alphas=args.alphas,
                         polish_iters=(None if args.polish_iters <= 0
@@ -380,6 +376,13 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
         assert health["feasible_frac"] >= 0.99, health
         assert health["track_err_mean_m"] < 0.16, health
         assert health["track_err_max_m"] < 0.35, health
+        # warm-start regression guard (VERDICT r4 item 7): the fixed-depth
+        # warm program is deterministic at ~7-12 s (B=512); a return to the
+        # 64-540 s volatile era must FAIL the bench. warm_s additionally
+        # carries first-execution tunnel noise — bound it loosely.
+        if batch <= 1024 and solver_kind == "fixed":
+            assert warm_steady_s < 30.0, {"warm_steady_s": warm_steady_s}
+            assert warm_s < 120.0, {"warm_s": warm_s}
 
     stats = {"trace_s": round(trace_s, 1), "lower_s": round(lower_s, 1),
              "compile_s": round(compile_s, 1),
@@ -416,6 +419,9 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="fuse the Riccati backward pass into one Pallas "
                          "kernel (ops/riccati_pallas.py)")
+    ap.add_argument("--pallas-nodes", action="store_true",
+                    help="fuse the per-node linearization sweep into one "
+                         "Pallas kernel (ops/node_pallas.py)")
     ap.add_argument("--priccati", action="store_true",
                     help="associative-scan (parallel-in-time) Riccati pass "
                          "(CPU only; refused on TPU — crashes the worker)")

@@ -245,8 +245,11 @@ def make_reference_sampler(state, state_ref: np.ndarray, t_ref: np.ndarray,
         state_ref = jnp.asarray(state_ref_h)
         x_hold = jnp.asarray(x_hold_h)
         t_ms = jnp.asarray(t_ms, dtype=dtype)
+        origin = jnp.asarray(float(t_ref_h[0]), dtype)
         if uniform:
-            pos = t_ms / jnp.asarray(dt_grid, dtype)
+            # arithmetic index on the uniform grid, measured from its origin
+            # (t_ref[0] need not be 0 for a public helper — ADVICE r4)
+            pos = (t_ms - origin) / jnp.asarray(dt_grid, dtype)
             idx = jnp.floor(pos).astype(jnp.int32) + 1
         else:
             t_ref = jnp.asarray(t_ref_h)
@@ -254,9 +257,9 @@ def make_reference_sampler(state, state_ref: np.ndarray, t_ref: np.ndarray,
         hold = idx >= N
         i1 = jnp.clip(idx, 1, N - 1)
         i0 = i1 - 1
-        t0 = i0.astype(dtype) * jnp.asarray(dt_grid, dtype) if uniform \
+        t0 = origin + i0.astype(dtype) * jnp.asarray(dt_grid, dtype) if uniform \
             else jnp.asarray(t_ref_h)[i0]
-        t1 = i1.astype(dtype) * jnp.asarray(dt_grid, dtype) if uniform \
+        t1 = origin + i1.astype(dtype) * jnp.asarray(dt_grid, dtype) if uniform \
             else jnp.asarray(t_ref_h)[i1]
         alpha = (t_ms - t0) / (t1 - t0)
         rows = jnp.arange(N, dtype=jnp.int32)

@@ -425,8 +425,10 @@ def node_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x, s):
             gAr.append(wk * Ar)
             gArr.append(wk * Arr)
     J_res = J[ndx:]
-    wAr = jnp.concatenate(gAr)
-    wArr = jnp.concatenate(gArr)
+    # slot-less (degenerate) specs: zero cost gradients, not a concatenate
+    # of an empty list (ADVICE r4)
+    wAr = jnp.concatenate(gAr) if gAr else jnp.zeros((0,), dtype)
+    wArr = jnp.concatenate(gArr) if gArr else jnp.zeros((0,), dtype)
     g = J_res.T @ wAr
     H = J_res.T @ (wArr[:, None] * J_res)
 
@@ -446,7 +448,8 @@ def terminal_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x)
 
     def fun(dx):
         xx = st.integrate(x, dx)
-        return jnp.concatenate(_point_residuals(spec, view, glob, xx, s0, terminal=True))
+        rs = _point_residuals(spec, view, glob, xx, s0, terminal=True)
+        return jnp.concatenate(rs) if rs else jnp.zeros((0,), dtype)
 
     z0 = jnp.zeros(ndx, dtype=dtype)
     val0, jvp = jax.linearize(fun, z0)
@@ -465,8 +468,8 @@ def terminal_calc_diff(spec: ProblemSpec, view: NodeView, glob: GlobalParams, x)
         cost = cost + wk * a
         gAr.append(wk * Ar)
         gArr.append(wk * Arr)
-    wAr = jnp.concatenate(gAr)
-    wArr = jnp.concatenate(gArr)
+    wAr = jnp.concatenate(gAr) if gAr else jnp.zeros((0,), dtype)
+    wArr = jnp.concatenate(gArr) if gArr else jnp.zeros((0,), dtype)
     Lx = J.T @ wAr
     Lxx = J.T @ (wArr[:, None] * J)
     return cost, Lx, Lxx
@@ -488,13 +491,25 @@ def calc_all(spec: ProblemSpec, params: ProblemParams, xs, us):
 
 
 @highest_matmul
-def calc_diff_all(spec: ProblemSpec, params: ProblemParams, xs, us):
-    """Derivatives of all running nodes (vmapped) + terminal derivatives."""
+def calc_diff_all(spec: ProblemSpec, params: ProblemParams, xs, us,
+                  pallas_nodes: bool = False):
+    """Derivatives of all running nodes (vmapped) + terminal derivatives.
+
+    ``pallas_nodes`` routes the running-node linearization through the
+    fused batch-in-lanes kernel (ops/node_pallas.py) when the spec is in
+    its scope (free dynamics, Euler, STATE/CONTROL slots) and the call is
+    vmapped over a scenario batch; the terminal node stays here (1/T of
+    the work)."""
+    lT, LxT, LxxT = terminal_calc_diff(
+        spec, node_view(params.node, spec.T), params.glob, xs[spec.T])
+    if pallas_nodes:
+        from ..ops import node_pallas
+        if node_pallas.supported(spec):
+            derivs = node_pallas.calc_diff_running(spec, params, xs, us)
+            return derivs, (lT, LxT, LxxT)
     views = running_views(params.node, spec.T)
     f = lambda view, x, u: node_calc_diff(spec, view, params.glob, x, u)
     derivs = jax.vmap(f)(views, xs[: spec.T], us)
-    lT, LxT, LxxT = terminal_calc_diff(
-        spec, node_view(params.node, spec.T), params.glob, xs[spec.T])
     return derivs, (lT, LxT, LxxT)
 
 

@@ -59,6 +59,10 @@ class SolverSettings:
     pallas_backward: bool = False   # fuse the Riccati recursion into ONE
                                     # batch-in-lanes Pallas kernel under vmap
                                     # (ops/riccati_pallas.py; non-box only)
+    pallas_nodes: bool = False      # fuse the per-node linearization sweep
+                                    # into ONE batch-in-lanes Pallas kernel
+                                    # under vmap (ops/node_pallas.py; free
+                                    # dynamics + Euler + state/control slots)
     record_trace: bool = False    # return per-iteration IterTrace telemetry
 
     # --- deviation switches (default = this solver's robust semantics) ----
@@ -191,7 +195,14 @@ def _check_priccati_backend(settings: SolverSettings) -> None:
     BASELINE.md knob verdict) — a user-reachable hard fault, not a slow
     path. CPU keeps the knob (pinned vs the sequential pass at 1e-8,
     tests/test_priccati.py). Set EAGLE_MPC_TPU_ALLOW_PRICCATI=1 to
-    re-test after runtime upgrades."""
+    re-test after runtime upgrades.
+
+    The check is deliberately COARSE: it keys on ``jax.default_backend()``,
+    not on the devices a particular solve is placed on, so a deliberately
+    CPU-placed solve on a TPU host is also refused (ADVICE r4). Detecting
+    placement would require inspecting traced abstract values (which carry
+    no committed device) — the env-var escape hatch is the supported
+    override for that niche."""
     if not settings.parallel_riccati:
         return
     import os as _os
@@ -342,7 +353,8 @@ def _compute_direction(spec, settings, params, xs, us, feasible, xreg, ureg,
                        box=False):
     """calcDiff + backward pass with regularization escalation on failure
     (reference loop at src/sbfddp.cpp:242-255)."""
-    derivs, term = P.calc_diff_all(spec, params, xs, us)
+    derivs, term = P.calc_diff_all(spec, params, xs, us,
+                                   pallas_nodes=settings.pallas_nodes)
     cost = jnp.sum(derivs.cost) + term[0]
     fs = _gaps(spec, params, xs, derivs, feasible)
     box_info = (us, params.glob.s_lb, params.glob.s_ub,
@@ -763,13 +775,27 @@ def _tree_select(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _check_fixed_settings(settings: SolverSettings) -> None:
+    """The fixed-depth path always runs the sequential (or Pallas) backward
+    pass; silently ignoring ``parallel_riccati`` would give a user a
+    different pass than requested (ADVICE r4)."""
+    if settings.parallel_riccati:
+        raise ValueError(
+            "parallel_riccati is not supported on the fixed-depth solver "
+            "path (solve_fixed / solve_fixed_batched / "
+            "solve_while_fixed_body) — it always uses the sequential scan "
+            "or, with pallas_backward=True, the fused Pallas kernel. Use "
+            "solve_fddp_or_ddp for the associative-scan pass (CPU only).")
+
+
 def _fixed_iteration(spec, settings, params, s: _FixedCarry, ddp, th_stop,
                      box, n_alphas):
     """One fixed-shape FDDP/DDP iteration (see module comment above)."""
     dtype = s.xs.dtype
     alphas = jnp.asarray(settings.alphas[:n_alphas], dtype=dtype)
 
-    derivs, term = P.calc_diff_all(spec, params, s.xs, s.us)
+    derivs, term = P.calc_diff_all(spec, params, s.xs, s.us,
+                                   pallas_nodes=settings.pallas_nodes)
     cost = jnp.sum(derivs.cost) + term[0]
     fs = _gaps(spec, params, s.xs, derivs, s.feasible)
     gap_norm = jnp.max(jnp.abs(fs))
@@ -871,6 +897,7 @@ def solve_fixed(spec, settings: SolverSettings, params, xs_init, us_init,
     backward pass consumes an iteration (escalate-and-continue) instead of
     retrying inside the iteration — equivalence on the mission corpus is
     pinned by tests/test_fixed.py."""
+    _check_fixed_settings(settings)
     params = P.as_device(params)
     dtype = xs_init.dtype
     ddp = jnp.asarray(ddp)
@@ -926,6 +953,7 @@ def solve_while_fixed_body(spec, settings: SolverSettings, params, xs_init,
     batched-alpha rollout instead of the while-solver's nested retry
     loops. Semantics: identical per-element math to :func:`solve_fixed`,
     data-dependent trip count like :func:`solve_fddp_or_ddp`."""
+    _check_fixed_settings(settings)
     params = P.as_device(params)
     dtype = xs_init.dtype
     ddp = jnp.asarray(ddp)
@@ -977,6 +1005,7 @@ def solve_fixed_batched(spec, settings: SolverSettings, params_b, xs_b, us_b,
     math and masking are IDENTICAL to :func:`solve_fixed` (the iteration
     body is the same ``_fixed_iteration`` under vmap); equivalence is
     pinned by tests/test_fixed.py in f64."""
+    _check_fixed_settings(settings)
     B = xs_b.shape[0]
     dtype = xs_b.dtype
     ddp = jnp.asarray(ddp)

@@ -366,14 +366,18 @@ def solve_fixed(spec: P.ProblemSpec, params: P.ProblemParams, xs_init=None,
     failed = jnp.zeros((), bool)
 
     # FDDP homotopy stages: fixed-depth scan bodies (reference loop at
-    # src/sbfddp.cpp:205-215; feasibility re-detected per stage because the
-    # annealed squash smoothness changes the dynamics under the candidate)
+    # src/sbfddp.cpp:205-215). The caller's ``feasible`` claim seeds the
+    # FIRST stage only (the reference's setCandidate(is_feasible) trust
+    # semantics, src/sbfddp.cpp:198 — previously a dead argument, ADVICE
+    # r4); later stages re-detect from scratch because the annealed squash
+    # smoothness changes the dynamics under the candidate.
     for k in range(n):
         params_k = _set_homotopy(spec, params, smooths[k])
         res = fddp.solve_fixed(
             spec, settings.solver, params_k, xs, us, depth,
             jnp.asarray(th_stops[k], dtype), settings.reg_init,
-            jnp.zeros((), bool), ddp=False, n_alphas=n_alphas,
+            feas if k == 0 else jnp.zeros((), bool),
+            ddp=False, n_alphas=n_alphas,
             final_cost_fallback=False)
         xs, us, feas = res.xs, res.us, res.feasible
         iters = iters + res.iters

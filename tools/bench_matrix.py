@@ -39,16 +39,9 @@ WARM_DEPTH = 30
 
 
 def _offline_ref(robot, mission, dt_ms, traj):
-    from tools.make_ref import ref_path
+    from tools.make_ref import load_ref
 
-    path = ref_path(robot, mission, dt_ms)
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return z["xs"].copy(), "offline"
-    n_ref = traj.duration // dt_ms + 1
-    ref = np.tile(np.asarray(traj.initial_state), (n_ref, 1))
-    ref[:, 0] = np.linspace(0.0, 2.0, n_ref)
-    return ref, "synthetic"
+    return load_ref(robot, mission, dt_ms, traj=traj)
 
 
 def tick_row(name, robot, mission, controller, batch, ticks, reps, alphas,
