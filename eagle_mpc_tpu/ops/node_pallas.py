@@ -39,6 +39,7 @@ tools/profile_node_pallas.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -175,6 +176,30 @@ def _quat_exp(w):
     return [w[0] * sinc_half, w[1] * sinc_half, w[2] * sinc_half, cos_half]
 
 
+def _atan2_pos(n, qw):
+    """atan2(n, qw) for n, qw >= 0, using only Mosaic-lowerable primitives
+    (atan2/atan/asin are unimplemented in the Pallas TPU lowering): a
+    polynomial initial guess (~1e-5) + 3 Newton corrections on
+    f(phi) = qw sin(phi) - n cos(phi), each quadratic — the result is
+    converged to machine precision in f64, so the interpret-mode parity
+    tests pin the SAME math the TPU runs."""
+    r = jnp.sqrt(_safe(n * n + qw * qw))
+    nn = n / r
+    ww = qw / r
+    lo = jnp.minimum(nn, ww)
+    hi = jnp.maximum(nn, ww)
+    t = lo / _safe(hi)
+    t2 = t * t
+    # Abramowitz & Stegun 4.4.49-grade minimax on [0, 1]
+    p = t * (0.99997726 + t2 * (-0.33262347 + t2 * (0.19354346
+             + t2 * (-0.11643287 + t2 * (0.05265332 - t2 * 0.01172120)))))
+    phi = jnp.where(nn <= ww, p, 0.5 * jnp.pi - p)
+    for _ in range(3):
+        s, c = jnp.sin(phi), jnp.cos(phi)
+        phi = phi - (ww * s - nn * c) / (ww * c + nn * s)
+    return phi
+
+
 def _quat_log(q):
     qv, qw = q[:3], q[3]
     sign = jnp.where(qw >= 0, 1.0, -1.0)
@@ -182,7 +207,7 @@ def _quat_log(q):
     qw = qw * sign
     n2 = _dot(qv, qv)
     n = jnp.sqrt(_safe(n2))
-    angle = 2.0 * jnp.arctan2(n, qw)
+    angle = 2.0 * _atan2_pos(n, qw)
     qw_safe = jnp.maximum(qw, 0.5)
     small_scale = 2.0 / qw_safe * (1.0 - n2 / (3.0 * qw_safe * qw_safe))
     scale = jnp.where(n2 < _EPS2, small_scale, angle / n)
@@ -767,8 +792,13 @@ def _kernel_builder(spec, BT: int, dtype_name: str):
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            # the linearize-under-vmap tangent pass keeps a deep live set of
+            # (27, BT) intermediates: the default 16M scoped-vmem limit
+            # overflows (measured 21.4M at the flagship shape) — raise it
+            # (v5e VMEM is 128M; 64M leaves pipeline headroom)
             compiler_params=(pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)) if not interpret else None),
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None),
         )(*inputs)
 
     return call
@@ -785,7 +815,8 @@ def _calc_diff_lanes(spec, xs_n, us_n, weight_n, active_n, refs_n, act_w,
 
     N = xs_n.shape[0]
     dtype = xs_n.dtype
-    BT = LANES
+    BT = int(os.environ.get("EAGLE_MPC_TPU_NODE_BT", "0")) or \
+        (2 * LANES if N >= 2 * LANES else LANES)
     Np = ((N + BT - 1) // BT) * BT
 
     def lanes(a):
