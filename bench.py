@@ -92,6 +92,7 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
                    scan_unroll: int = 1,
                    pallas_backward: bool = False,
                    pallas_nodes: bool = False,
+                   pallas_rollout: bool = False,
                    solver_kind: str = "fixed",
                    n_alphas: int = 4,
                    polish_iters: Optional[int] = 1) -> Workload:
@@ -140,7 +141,8 @@ def build_workload(batch: int, ticks: int, dtype_str: str = "f32",
     solver_settings = fddp.SolverSettings(parallel_riccati=parallel_riccati,
                                           scan_unroll=scan_unroll,
                                           pallas_backward=pallas_backward,
-                                          pallas_nodes=pallas_nodes)
+                                          pallas_nodes=pallas_nodes,
+                                          pallas_rollout=pallas_rollout)
     settings = sbfddp.SbFddpSettings(solver=solver_settings)
     sbs_tick = sbfddp.SbFddpSettings(convergence_init=1e-3,
                                      solver=solver_settings)
@@ -283,6 +285,7 @@ def run_one(args, batch, synthetic_ref=None, t0_ms=None, assert_health=None):
                         scan_unroll=args.unroll,
                         pallas_backward=args.pallas,
                         pallas_nodes=args.pallas_nodes,
+                        pallas_rollout=args.pallas_rollout,
                         solver_kind=solver_kind,
                         n_alphas=args.alphas,
                         polish_iters=(None if args.polish_iters <= 0
@@ -422,6 +425,9 @@ def main():
     ap.add_argument("--pallas-nodes", action="store_true",
                     help="fuse the per-node linearization sweep into one "
                          "Pallas kernel (ops/node_pallas.py)")
+    ap.add_argument("--pallas-rollout", action="store_true",
+                    help="fuse the batched-alpha line-search rollout into "
+                         "one Pallas kernel (ops/rollout_pallas.py)")
     ap.add_argument("--priccati", action="store_true",
                     help="associative-scan (parallel-in-time) Riccati pass "
                          "(CPU only; refused on TPU — crashes the worker)")

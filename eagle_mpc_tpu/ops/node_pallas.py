@@ -614,6 +614,51 @@ class _SlotInfo(NamedTuple):
     ref_dim: int
 
 
+def dyn_next_lanes(km: _KModel, tau_f, nu: int, dt: float, use_squash: bool,
+                   xx, ss, s_lb, s_ub, smooth):
+    """Squash -> allocation -> free dynamics -> symplectic Euler (lane
+    lists). The shared primal step of the linearization and rollout
+    kernels."""
+    n_rot = len(tau_f[0])
+    u = _smooth_sat(ss, s_lb, s_ub, smooth) if use_squash else ss
+    base = _matvec(tau_f, u[:n_rot])
+    tau = base + u[n_rot:]
+    a = _fwd_dyn(km, xx, tau)
+    nq, nv = km.nq, km.nv
+    v = xx[nq:]
+    vnext = [v[i] + a[i] * dt for i in range(nv)]
+    dx = [vnext[i] * dt for i in range(nv)] + [a[i] * dt for i in range(nv)]
+    return _integrate(xx, dx, nq, nv)
+
+
+def residual_rows_lanes(km: _KModel, slots, nu: int, xx, ss, srefs):
+    """Stacked residual rows of all slots at one point (STATE/CONTROL)."""
+    from ..ocp import costs as C
+
+    nq, nv = km.nq, km.nv
+    rows = []
+    for k, sl in enumerate(slots):
+        if sl.kind == C.STATE:
+            rows.extend(_state_diff(srefs[k], xx, nq, nv))
+        else:  # CONTROL (pre-squash input, reference semantics)
+            rows.extend([ss[i] - srefs[k][i] for i in range(nu)])
+    return rows
+
+
+def node_cost_lanes(slots, dt: float, rows, w, act, actw, lbs, ubs):
+    """Discrete running cost from pre-computed residual rows: sum over
+    slots of dt * weight * active * activation(r)."""
+    cost = None
+    off = 0
+    for k, sl in enumerate(slots):
+        r = [rows[off + i] for i in range(sl.nr)]
+        a, _, _ = _activation(sl.activation, r, actw[k], lbs[k], ubs[k])
+        wk = dt * w[k] * act[k]
+        cost = wk * a if cost is None else cost + wk * a
+        off += sl.nr
+    return cost
+
+
 def _spec_slot_info(spec) -> Tuple[_SlotInfo, ...]:
     return tuple(_SlotInfo(s.kind, s.activation, s.nr, s.ref_dim)
                  for s in spec.slots)
@@ -666,27 +711,12 @@ def _node_kernel(*refs, km: _KModel, slots: Tuple[_SlotInfo, ...],
         lbs.append([slot_refs[4 * k + 2][i] for i in range(slots[k].nr)])
         ubs.append([slot_refs[4 * k + 3][i] for i in range(slots[k].nr)])
 
-    n_rot = len(tau_f[0])
-
     def dyn_next(xx, ss):
-        """Squash -> allocation -> free dynamics -> symplectic Euler."""
-        u = _smooth_sat(ss, s_lb, s_ub, smooth) if use_squash else ss
-        base = _matvec(tau_f, u[:n_rot])
-        tau = base + u[n_rot:]
-        a = _fwd_dyn(km, xx, tau)
-        v = xx[nq:]
-        vnext = [v[i] + a[i] * dt for i in range(nv)]
-        dx = [vnext[i] * dt for i in range(nv)] + [a[i] * dt for i in range(nv)]
-        return _integrate(xx, dx, nq, nv)
+        return dyn_next_lanes(km, tau_f, nu, dt, use_squash, xx, ss,
+                              s_lb, s_ub, smooth)
 
     def residual_rows(xx, ss):
-        rows = []
-        for k, sl in enumerate(slots):
-            if sl.kind == C.STATE:
-                rows.extend(_state_diff(srefs[k], xx, nq, nv))
-            else:  # CONTROL (pre-squash input, reference semantics)
-                rows.extend([ss[i] - srefs[k][i] for i in range(nu)])
-        return rows
+        return residual_rows_lanes(km, slots, nu, xx, ss, srefs)
 
     # primal next state (constant inside fun, mirroring node_calc_diff)
     xnext0 = dyn_next(x, s)

@@ -63,6 +63,10 @@ class SolverSettings:
                                     # into ONE batch-in-lanes Pallas kernel
                                     # under vmap (ops/node_pallas.py; free
                                     # dynamics + Euler + state/control slots)
+    pallas_rollout: bool = False    # fuse the batched-alpha line-search
+                                    # rollout into ONE grid-pipelined Pallas
+                                    # kernel (ops/rollout_pallas.py; fixed
+                                    # solver path, same scope as pallas_nodes)
     record_trace: bool = False    # return per-iteration IterTrace telemetry
 
     # --- deviation switches (default = this solver's robust semantics) ----
@@ -775,6 +779,61 @@ def _tree_select(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _rollout_multi_pallas(spec, settings, params, xs, us, bp, fs, alphas,
+                          feasible, ddp, box):
+    """All line-search rollouts via the fused Pallas kernel
+    (ops/rollout_pallas.py): the whole alpha ladder for this problem rides
+    one grid-pipelined program; terminal node + divergence detection stay
+    here (vectorized, as in :func:`_forward_pass`). Returns per-alpha
+    (xs_try (A, T+1, nx), us_try, cost_try (A,), diverged (A,))."""
+    from ..ops import rollout_pallas
+
+    st = spec.state
+    T = spec.T
+    A = alphas.shape[0]
+    dtype = xs.dtype
+    node = params.node
+    glob = params.glob
+    bc = lambda a: jnp.broadcast_to(a[None], (A,) + a.shape)
+    rep_t = lambda a: bc(jnp.broadcast_to(a[None], (T,) + a.shape))
+    keep = (~ddp) & (~feasible) & (alphas != 1.0)
+
+    xs_try_r, us_try, cs, xn = rollout_pallas.rollout_core(
+        spec, box, bc(xs[:T]), bc(us), bc(bp.k), bc(bp.K), bc(fs),
+        bc(params.x0), alphas, keep,
+        bc(node.weight[:T]), bc(node.active[:T]),
+        tuple(bc(r[:T]) for r in node.refs),
+        tuple(rep_t(a) for a in glob.act_w),
+        tuple(rep_t(a) for a in glob.lb),
+        tuple(rep_t(a) for a in glob.ub),
+        jnp.broadcast_to(glob.squash_smooth, (A,)).astype(dtype),
+        bc(glob.s_lb), bc(glob.s_ub))
+
+    def term(alpha_a, keep_a, xn_last):
+        xT = jnp.where(keep_a,
+                       st.integrate(xn_last, fs[-1] * (alpha_a - 1.0)),
+                       xn_last)
+        cT = P.terminal_calc(spec, P.node_view(node, T), glob, xT)
+        return xT, cT
+
+    xT_try, cT = jax.vmap(term)(alphas, keep, xn[:, -1])
+    cost_try = jnp.sum(cs, axis=1) + cT
+    th_div = jnp.asarray(settings.th_diverge, dtype)
+    tril = jnp.tril(jnp.ones((T, T), dtype=cs.dtype))
+    cost_cum = cs @ tril.T
+
+    def dvg_one(xs_try, cc, ct, xT):
+        return (~jnp.all(jnp.isfinite(xs_try))
+                | (jnp.max(jnp.abs(xs_try)) >= th_div)
+                | ~jnp.all(jnp.isfinite(cc)) | (jnp.max(cc) >= th_div)
+                | ~jnp.isfinite(ct) | (ct >= th_div)
+                | (jnp.max(jnp.abs(xT)) >= th_div))
+
+    diverged = jax.vmap(dvg_one)(xs_try_r, cost_cum, cost_try, xT_try)
+    xs_try_full = jnp.concatenate([xs_try_r, xT_try[:, None]], axis=1)
+    return xs_try_full, us_try, cost_try, diverged
+
+
 def _check_fixed_settings(settings: SolverSettings) -> None:
     """The fixed-depth path always runs the sequential (or Pallas) backward
     pass; silently ignoring ``parallel_riccati`` would give a user a
@@ -813,11 +872,9 @@ def _fixed_iteration(spec, settings, params, s: _FixedCarry, ddp, th_stop,
 
     dg, dq = _expected_improvement_terms(bp, fs, s.feasible)
 
-    def try_alpha(alpha):
-        xs_try, us_try, cost_try, diverged = _forward_pass(
-            spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
-            use_gaps=~ddp, box=box,
-            unroll=settings.scan_unroll, th_diverge=settings.th_diverge)
+    def decide(alpha, xs_try, cost_try, diverged):
+        """Accept rule for one rolled-out candidate (shared by the XLA and
+        Pallas rollout paths)."""
         d0_f, d1_f = _expected_improvement(spec, bp, fs, s.xs, xs_try,
                                            dg, dq, s.feasible)
         d0 = jnp.where(ddp, dg, d0_f)
@@ -838,13 +895,32 @@ def _fixed_iteration(spec, settings, params, s: _FixedCarry, ddp, th_stop,
             dVexp >= 0,
             at_stationary | (dV > settings.th_acceptstep * dVexp),
             neg_ok)
-        accept = jnp.where(ddp, accept_ddp, accept_fddp) & ~diverged
-        return xs_try, us_try, cost_try, accept
+        return jnp.where(ddp, accept_ddp, accept_fddp) & ~diverged
 
-    # the whole alpha ladder rides ONE rollout scan (vmap folds the alpha
-    # axis into the node batch); first-accepted index = the reference's
-    # early-exit choice since alphas descend
-    xs_t, us_t, cost_t, acc = jax.vmap(try_alpha)(alphas)
+    # the whole alpha ladder rides ONE rollout (vmap folds the alpha axis
+    # into the node batch; with pallas_rollout, one fused kernel program);
+    # first-accepted index = the reference's early-exit choice since alphas
+    # descend
+    use_roll = False
+    if settings.pallas_rollout:
+        from ..ops import rollout_pallas
+        use_roll = rollout_pallas.supported(spec)
+    if use_roll:
+        xs_t, us_t, cost_t, dvg = _rollout_multi_pallas(
+            spec, settings, params, s.xs, s.us, bp, fs, alphas,
+            s.feasible, ddp, box)
+        acc = jax.vmap(decide)(alphas, xs_t, cost_t, dvg)
+    else:
+        def try_alpha(alpha):
+            xs_try, us_try, cost_try, diverged = _forward_pass(
+                spec, params, s.xs, s.us, bp, fs, alpha, s.feasible,
+                use_gaps=~ddp, box=box,
+                unroll=settings.scan_unroll,
+                th_diverge=settings.th_diverge)
+            return (xs_try, us_try, cost_try,
+                    decide(alpha, xs_try, cost_try, diverged))
+
+        xs_t, us_t, cost_t, acc = jax.vmap(try_alpha)(alphas)
     acc = acc & bp_ok
     any_accept = jnp.any(acc)
     idx = jnp.argmax(acc)               # first True (alphas descending)

@@ -105,8 +105,8 @@ def main():
             return jnp.sum(jax.vmap(one)(t_ms, x0b, xs, us))
         return cd
 
-    def make_tick(pn):
-        ss = fddp.SolverSettings(pallas_nodes=pn)
+    def make_tick(pn, pr=False):
+        ss = fddp.SolverSettings(pallas_nodes=pn, pallas_rollout=pr)
         sbs = sbfddp.SbFddpSettings(convergence_init=1e-3, solver=ss)
 
         @jax.jit
@@ -129,6 +129,8 @@ def main():
         phases += [
             ("tick XLA", make_tick(False), (params0, t_ms, x0b, xs, us)),
             ("tick PALLAS", make_tick(True), (params0, t_ms, x0b, xs, us)),
+            ("tick PALLAS+ROLL", make_tick(True, True),
+             (params0, t_ms, x0b, xs, us)),
         ]
     platform = jax.devices()[0].platform
     print(f"platform={platform} B={B} T={T} f32 scalar-fetch reps={args.reps}")
