@@ -414,20 +414,27 @@ def main():
     ap.add_argument("--while-solver", action="store_true",
                     help="round-3 while-loop solver path (schedule-shared "
                          "warm/tick program) instead of the fixed-depth tick")
-    ap.add_argument("--alphas", type=int, default=4,
-                    help="line-search ladder depth for the fixed tick")
+    ap.add_argument("--alphas", type=int, default=10,
+                    help="line-search ladder depth for the fixed tick "
+                         "(default: the reference's full 10-deep ladder — "
+                         "affordable since the fused rollout kernel made "
+                         "the ladder width cheap)")
     ap.add_argument("--polish-iters", type=int, default=1,
                     help="per-tick DDP polish budget cap (0 = reference "
                          "budget, i.e. the full iters)")
     ap.add_argument("--pallas", action="store_true",
                     help="fuse the Riccati backward pass into one Pallas "
                          "kernel (ops/riccati_pallas.py)")
-    ap.add_argument("--pallas-nodes", action="store_true",
+    ap.add_argument("--pallas-nodes", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="fuse the per-node linearization sweep into one "
-                         "Pallas kernel (ops/node_pallas.py)")
-    ap.add_argument("--pallas-rollout", action="store_true",
+                         "Pallas kernel (ops/node_pallas.py; default ON "
+                         "on TPU, OFF on CPU where interpret mode is slow)")
+    ap.add_argument("--pallas-rollout",
+                    action=argparse.BooleanOptionalAction, default=None,
                     help="fuse the batched-alpha line-search rollout into "
-                         "one Pallas kernel (ops/rollout_pallas.py)")
+                         "one Pallas kernel (ops/rollout_pallas.py; same "
+                         "default rule)")
     ap.add_argument("--priccati", action="store_true",
                     help="associative-scan (parallel-in-time) Riccati pass "
                          "(CPU only; refused on TPU — crashes the worker)")
@@ -456,6 +463,12 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     platform = jax.devices()[0].platform
+    # the fused node/rollout kernels are the round-5 default tick config on
+    # TPU; on CPU they run in (slow) interpret mode, so default them off
+    if args.pallas_nodes is None:
+        args.pallas_nodes = platform == "tpu"
+    if args.pallas_rollout is None:
+        args.pallas_rollout = platform == "tpu"
 
     if args.sweep:
         rows = []

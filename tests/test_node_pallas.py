@@ -93,17 +93,18 @@ def test_unbatched_falls_back():
 
 
 def test_solve_fixed_equivalence():
-    """The full fixed-depth SbFDDP tick with pallas_nodes=True converges to
-    the same solution as the default path (f64; op-order differences only)."""
+    """The full fixed-depth SbFDDP tick with the fused kernels (node
+    linearization alone, and + the rollout kernel) converges to the same
+    solution as the default path (f64; op-order differences only)."""
     ctrl, _ = _controller("iris", "hover", 30)
     spec = ctrl.spec
     B = 2
     xs_b, us_b = _candidates(spec, np.asarray(ctrl.params0.x0), B, seed=3)
 
-    def solve(pn):
+    def solve(pn, pr=False):
         ss = sbfddp.SbFddpSettings(
             convergence_init=1e-3,
-            solver=fddp.SolverSettings(pallas_nodes=pn))
+            solver=fddp.SolverSettings(pallas_nodes=pn, pallas_rollout=pr))
 
         def one(t, xs, us):
             p = ctrl.update_problem(
@@ -113,12 +114,14 @@ def test_solve_fixed_equivalence():
         return jax.vmap(one)(jnp.full((B,), 800.0), xs_b, us_b)
 
     r0 = solve(False)
-    r1 = solve(True)
-    assert np.array_equal(np.asarray(r0.feasible), np.asarray(r1.feasible))
-    np.testing.assert_allclose(np.asarray(r0.cost), np.asarray(r1.cost),
-                               rtol=1e-8)
-    np.testing.assert_allclose(np.asarray(r0.xs), np.asarray(r1.xs),
-                               rtol=1e-6, atol=1e-8)
+    for r1 in (solve(True), solve(True, True)):
+        assert np.array_equal(np.asarray(r0.feasible),
+                              np.asarray(r1.feasible))
+        assert np.array_equal(np.asarray(r0.iters), np.asarray(r1.iters))
+        np.testing.assert_allclose(np.asarray(r0.cost), np.asarray(r1.cost),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(r0.xs), np.asarray(r1.xs),
+                                   rtol=1e-6, atol=1e-8)
 
 
 def test_unsupported_spec_falls_back():

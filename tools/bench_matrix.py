@@ -61,6 +61,9 @@ def tick_row(name, robot, mission, controller, batch, ticks, reps, alphas,
     mp = specs.load_mpc_params(f"{robot}/mpc/mpc.yaml", yaml_dir=MISSIONS)
     dt_ref = mp.dt
     ref, ref_kind = _offline_ref(robot, mission, dt_ref, traj)
+    # every TPU perf row tracks a REAL cached offline solve (VERDICT r4
+    # item 4; run tools/make_ref.py for missing missions)
+    assert ref_kind == "offline", (robot, mission, dt_ref)
 
     if controller == "carrot":
         ctrl = CarrotMpc(mpc_params=mp, trajectory=traj, state_ref=ref,
@@ -78,7 +81,10 @@ def tick_row(name, robot, mission, controller, batch, ticks, reps, alphas,
     T, nu, nx = spec.T, spec.nu, mp.model.nx
     dt_sim = 2.0
 
-    ss = fddp.SolverSettings()
+    # the serving tick config: fused node/rollout kernels on TPU (the
+    # round-5 bench defaults; interpret mode is slow on CPU)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ss = fddp.SolverSettings(pallas_nodes=on_tpu, pallas_rollout=on_tpu)
     sbs_tick = sbfddp.SbFddpSettings(convergence_init=1e-3, solver=ss)
     sbs_warm = sbfddp.SbFddpSettings(solver=ss)
 
@@ -178,17 +184,26 @@ def tick_row(name, robot, mission, controller, batch, ticks, reps, alphas,
     return row
 
 
-def contact_row(batch, reps):
-    """Batched offline monkey_bar solves (contact KKT path, while-solver)."""
+def contact_row(batch, reps, mission="monkey_bar", solver="while",
+                noise_sd=0.02):
+    """Batched offline contact solves (3-D gripper KKT dynamics).
+
+    ``solver``: "while" — the canonical reference-faithful while-loop
+    SbFDDP at maxiter=100 (the round-4 row); "fixed" — the batch-aware
+    fixed-depth driver (sbfddp.solve_fixed_batched, depth=100 per homotopy
+    stage with done-masking + bounded fixed polish), VERDICT r4 item 5:
+    the while solver's lockstep ladder pays the expensive nested-loop
+    iteration body to the slowest element, where the fixed body is one
+    backward pass + one batched-alpha rollout per iteration."""
     import jax
     import jax.numpy as jnp
 
     from eagle_mpc_tpu.config import specs
     from eagle_mpc_tpu.ocp import problem as P
-    from eagle_mpc_tpu.solvers import sbfddp
+    from eagle_mpc_tpu.solvers import fddp, sbfddp
 
     traj = specs.load_trajectory(
-        "hexacopter370_flying_arm_3/trajectories/monkey_bar.yaml",
+        f"hexacopter370_flying_arm_3/trajectories/{mission}.yaml",
         yaml_dir=MISSIONS)
     spec, params = P.from_trajectory(traj, dt_ms=40, use_squash=True,
                                      integrator="IntegratedActionModelEuler",
@@ -198,17 +213,28 @@ def contact_row(batch, reps):
         params)
     nx = traj.model.nx
     rng = np.random.default_rng(0)
-    noise = rng.normal(size=(batch, nx)).astype(np.float32) * 0.02
+    noise = rng.normal(size=(batch, nx)).astype(np.float32) * noise_sd
     noise[:, 3:7] = 0.0
     x0b = jnp.asarray(np.asarray(traj.initial_state, np.float32)[None] + noise)
 
-    @jax.jit
-    def solve_batch(x0b):
-        def one(x0):
-            r = sbfddp.solve(spec, params._replace(x0=jnp.asarray(x0)),
-                             maxiter=100)
+    if solver == "while":
+        @jax.jit
+        def solve_batch(x0b):
+            def one(x0):
+                r = sbfddp.solve(spec, params._replace(x0=jnp.asarray(x0)),
+                                 maxiter=100)
+                return r.cost, r.feasible, r.failed, r.iters
+            return jax.vmap(one)(x0b)
+    else:
+        @jax.jit
+        def solve_batch(x0b):
+            xs0 = jnp.tile(x0b[:, None, :], (1, spec.T + 1, 1))
+            us0 = jnp.zeros((batch, spec.T, spec.nu), jnp.float32)
+            params_b = jax.vmap(
+                lambda x0: P.as_device(params)._replace(x0=x0))(x0b)
+            r = sbfddp.solve_fixed_batched(spec, params_b, xs0, us0,
+                                           depth=100, polish="fixed")
             return r.cost, r.feasible, r.failed, r.iters
-        return jax.vmap(one)(x0b)
 
     t0 = time.time()
     cost, feas, failed, iters = solve_batch(x0b)
@@ -222,8 +248,9 @@ def contact_row(batch, reps):
         times.append(time.time() - t0)
     med = float(np.median(times))
     feas_h = np.asarray(feas)
-    row = {"row": "monkey_bar_solve", "robot": "hexacopter370_flying_arm_3",
-           "mission": "monkey_bar", "controller": "offline",
+    row = {"row": f"{mission}_solve_{solver}",
+           "robot": "hexacopter370_flying_arm_3",
+           "mission": mission, "controller": f"offline_{solver}",
            "B": batch, "T": spec.T, "contacts": len(spec.contacts),
            "compile+first_s": round(first_s, 1),
            "solve_batch_s": round(med, 2),
@@ -241,7 +268,8 @@ def contact_row(batch, reps):
 
 
 ROWS = ["flagship_carrot", "flagship_rail", "flagship_weighted",
-        "iris_px4_carrot", "monkey_bar_solve"]
+        "iris_px4_carrot", "hexacopter680_carrot", "hextilt_fa5_carrot",
+        "monkey_bar_solve", "monkey_bar_fixed", "eagle_catch_fixed"]
 
 
 def main():
@@ -250,7 +278,7 @@ def main():
     ap.add_argument("--contact-batch", type=int, default=64)
     ap.add_argument("--ticks", type=int, default=5)
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--alphas", type=int, default=4)
+    ap.add_argument("--alphas", type=int, default=10)
     ap.add_argument("--rows", default=",".join(ROWS))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -278,7 +306,18 @@ def main():
         "iris_px4_carrot": lambda: tick_row(
             "iris_px4_carrot", "iris_px4", "displacement", "carrot",
             args.batch, args.ticks, args.reps, args.alphas),
+        "hexacopter680_carrot": lambda: tick_row(
+            "hexacopter680_carrot", "hexacopter680_flying_arm_2", "hover",
+            "carrot", args.batch, args.ticks, args.reps, args.alphas),
+        "hextilt_fa5_carrot": lambda: tick_row(
+            "hextilt_fa5_carrot", "hextilt_flying_arm_5", "push_slide",
+            "carrot", args.batch, args.ticks, args.reps, args.alphas),
         "monkey_bar_solve": lambda: contact_row(args.contact_batch, args.reps),
+        "monkey_bar_fixed": lambda: contact_row(
+            args.contact_batch, args.reps, solver="fixed"),
+        "eagle_catch_fixed": lambda: contact_row(
+            args.contact_batch, args.reps, mission="eagle_catch",
+            solver="fixed"),
     }
     for name in args.rows.split(","):
         t0 = time.time()
