@@ -292,6 +292,29 @@ def _state_diff(x0, x1, nq, nv):
 # static kernel model: per-joint trig-coefficient matrices (trace-time numpy)
 # ---------------------------------------------------------------------------
 
+def _np_rot_to_quat(R: np.ndarray) -> Tuple[float, ...]:
+    """Host-side rotation matrix -> (x, y, z, w) quaternion (Shepperd)."""
+    R = np.asarray(R, float)
+    tr = np.trace(R)
+    cands = []
+    s_w = 1.0 + tr
+    cands.append((s_w, np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                                 R[1, 0] - R[0, 1], s_w])))
+    s_x = 1.0 + R[0, 0] - R[1, 1] - R[2, 2]
+    cands.append((s_x, np.array([s_x, R[0, 1] + R[1, 0], R[0, 2] + R[2, 0],
+                                 R[2, 1] - R[1, 2]])))
+    s_y = 1.0 - R[0, 0] + R[1, 1] - R[2, 2]
+    cands.append((s_y, np.array([R[0, 1] + R[1, 0], s_y, R[1, 2] + R[2, 1],
+                                 R[0, 2] - R[2, 0]])))
+    s_z = 1.0 - R[0, 0] - R[1, 1] + R[2, 2]
+    cands.append((s_z, np.array([R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], s_z,
+                                 R[1, 0] - R[0, 1]])))
+    s, q = max(cands, key=lambda c: c[0])
+    q = q / (2.0 * np.sqrt(s))
+    q = q / np.linalg.norm(q)
+    return tuple(map(float, q))
+
+
 class _KJoint(NamedTuple):
     parent: int
     prismatic: bool
@@ -302,6 +325,8 @@ class _KJoint(NamedTuple):
     R_static: tuple                 # prismatic rotation
     axis_world: Tuple[float, ...]   # jR @ axis (prismatic translation dir)
     S: Tuple[float, ...]            # motion subspace in child frame
+    jRq: Tuple[float, ...] = ()     # static quat of the joint placement
+    axis: Tuple[float, ...] = ()    # joint axis (joint frame)
 
 
 class _KModel(NamedTuple):
@@ -333,7 +358,8 @@ def _build_kmodel(model) -> _KModel:
                 C0=tuple(map(tuple, C0)), C1=tuple(map(tuple, C1)),
                 C2=tuple(map(tuple, C2)),
                 R_static=tuple(map(tuple, jR)),
-                axis_world=tuple(map(float, jR @ ax)), S=S))
+                axis_world=tuple(map(float, jR @ ax)), S=S,
+                jRq=_np_rot_to_quat(jR), axis=tuple(map(float, ax))))
         elif model.joint_type[j] == PRISMATIC:
             S = tuple(map(float, ax)) + (0.0, 0.0, 0.0)
             joints.append(_KJoint(
@@ -341,7 +367,8 @@ def _build_kmodel(model) -> _KModel:
                 p=tuple(map(float, jp)),
                 C0=(), C1=(), C2=(),
                 R_static=tuple(map(tuple, jR)),
-                axis_world=tuple(map(float, jR @ ax)), S=S))
+                axis_world=tuple(map(float, jR @ ax)), S=S,
+                jRq=_np_rot_to_quat(jR), axis=tuple(map(float, ax))))
         else:  # pragma: no cover
             raise NotImplementedError
     return _KModel(
@@ -612,6 +639,40 @@ class _SlotInfo(NamedTuple):
     activation: str
     nr: int
     ref_dim: int
+    # frame-cost statics (operational frame attached to a body):
+    frame_body: int = -1
+    fp: Tuple[float, ...] = ()      # frame translation in the body frame
+    fRq: Tuple[float, ...] = ()     # frame rotation as a static quaternion
+    fR: tuple = ()                  # frame rotation matrix (velocity xform)
+
+
+def _fk_quat(km: _KModel, x):
+    """World placement (p, quat) of every body — the quaternion-chain FK.
+
+    Equivalent to rbd.body_world_placements but composing quaternions
+    directly (q_joint of a revolute joint about its static axis is
+    [axis sin(theta/2), cos(theta/2)]), so frame residuals never need a
+    lane-layout rot_to_quat."""
+    pw = [None] * (km.nj + 1)
+    qw = [None] * (km.nj + 1)
+    pw[0] = list(x[:3])
+    qw[0] = list(x[3:7])
+    for j, kj in enumerate(km.joints):
+        b = j + 1
+        th = x[7 + j]
+        if kj.prismatic:
+            q_local = [float(c) for c in kj.jRq]
+            p_local = [kj.p[i] + kj.axis_world[i] * th for i in range(3)]
+        else:
+            half = 0.5 * th
+            sh, ch = jnp.sin(half), jnp.cos(half)
+            q_ax = [kj.axis[0] * sh, kj.axis[1] * sh, kj.axis[2] * sh, ch]
+            q_local = _quat_mul([float(c) for c in kj.jRq], q_ax)
+            p_local = [float(c) for c in kj.p]
+        r = _quat_rotate(qw[kj.parent], p_local)
+        pw[b] = [pw[kj.parent][i] + r[i] for i in range(3)]
+        qw[b] = _quat_mul(qw[kj.parent], q_local)
+    return pw, qw
 
 
 def dyn_next_lanes(km: _KModel, tau_f, nu: int, dt: float, use_squash: bool,
@@ -632,16 +693,62 @@ def dyn_next_lanes(km: _KModel, tau_f, nu: int, dt: float, use_squash: bool,
 
 
 def residual_rows_lanes(km: _KModel, slots, nu: int, xx, ss, srefs):
-    """Stacked residual rows of all slots at one point (STATE/CONTROL)."""
+    """Stacked residual rows of all slots at one evaluation point.
+
+    STATE/CONTROL plus the four operational-frame residual kinds (matching
+    ocp.costs.residual semantics; the reference factory's cost types,
+    /root/reference/src/factory/cost.cpp:37-169). Frame poses come from the
+    quaternion-chain FK; relative rotations are quaternion products, so
+    log3(Rref^T R) becomes quat_log(conj(qref) * qf) — identical math,
+    no matrix-to-quaternion conversion in lane layout."""
     from ..ocp import costs as C
 
     nq, nv = km.nq, km.nv
+    need_pose = any(sl.kind in (C.FRAME_PLACEMENT, C.FRAME_TRANSLATION,
+                                C.FRAME_ROTATION) for sl in slots)
+    need_vel = any(sl.kind == C.FRAME_VELOCITY for sl in slots)
+    pw = qw = vel = None
+    if need_pose:
+        pw, qw = _fk_quat(km, xx)
+    if need_vel:
+        _, _, _, vel = _tree_kin(km, xx)
+
+    def frame_pose(sl):
+        b = sl.frame_body
+        r = _quat_rotate(qw[b], [float(c) for c in sl.fp])
+        p = [pw[b][i] + r[i] for i in range(3)]
+        qf = _quat_mul(qw[b], [float(c) for c in sl.fRq])
+        return p, qf
+
     rows = []
     for k, sl in enumerate(slots):
+        ref = srefs[k]
         if sl.kind == C.STATE:
-            rows.extend(_state_diff(srefs[k], xx, nq, nv))
-        else:  # CONTROL (pre-squash input, reference semantics)
-            rows.extend([ss[i] - srefs[k][i] for i in range(nu)])
+            rows.extend(_state_diff(ref, xx, nq, nv))
+        elif sl.kind == C.CONTROL:
+            # pre-squash input (reference semantics)
+            rows.extend([ss[i] - ref[i] for i in range(nu)])
+        elif sl.kind == C.FRAME_TRANSLATION:
+            p, _ = frame_pose(sl)
+            rows.extend([p[i] - ref[i] for i in range(3)])
+        elif sl.kind == C.FRAME_ROTATION:
+            _, qf = frame_pose(sl)
+            rows.extend(_quat_log(_quat_mul(_quat_conj(ref), qf)))
+        elif sl.kind == C.FRAME_PLACEMENT:
+            p, qf = frame_pose(sl)
+            pref, qref = ref[:3], ref[3:7]
+            dp = [p[i] - pref[i] for i in range(3)]
+            t_rel = _quat_rotate_inv(qref, dp)
+            q_rel = _quat_mul(_quat_conj(qref), qf)
+            rows.extend(_log6(t_rel, q_rel))
+        elif sl.kind == C.FRAME_VELOCITY:
+            b = sl.frame_body
+            vf = _motion_to_child([float(c) for c in sl.fp],
+                                  [[float(c) for c in row] for row in sl.fR],
+                                  vel[b])
+            rows.extend([vf[i] - ref[i] for i in range(6)])
+        else:  # pragma: no cover
+            raise ValueError(sl.kind)
     return rows
 
 
@@ -660,17 +767,40 @@ def node_cost_lanes(slots, dt: float, rows, w, act, actw, lbs, ubs):
 
 
 def _spec_slot_info(spec) -> Tuple[_SlotInfo, ...]:
-    return tuple(_SlotInfo(s.kind, s.activation, s.nr, s.ref_dim)
-                 for s in spec.slots)
+    from ..ocp import costs as C
+
+    infos = []
+    for s in spec.slots:
+        if s.kind in (C.FRAME_PLACEMENT, C.FRAME_TRANSLATION,
+                      C.FRAME_ROTATION, C.FRAME_VELOCITY):
+            fr = spec.model.frames[s.frame_id]
+            infos.append(_SlotInfo(
+                s.kind, s.activation, s.nr, s.ref_dim,
+                frame_body=fr.body,
+                fp=tuple(map(float, np.asarray(fr.p, float))),
+                fRq=_np_rot_to_quat(fr.R),
+                fR=tuple(map(tuple, np.asarray(fr.R, float)))))
+        else:
+            infos.append(_SlotInfo(s.kind, s.activation, s.nr, s.ref_dim))
+    return tuple(infos)
+
+
+_SUPPORTED_KINDS = None
 
 
 def supported(spec) -> bool:
-    """Kernel scope: free dynamics, Euler, STATE/CONTROL slots only."""
+    """Kernel scope: free dynamics, Euler; all slot kinds except the
+    friction cone (which needs the contact KKT forces)."""
+    global _SUPPORTED_KINDS
     from ..ocp import costs as C
     from ..ocp import problem as P
 
+    if _SUPPORTED_KINDS is None:
+        _SUPPORTED_KINDS = (C.STATE, C.CONTROL, C.FRAME_PLACEMENT,
+                            C.FRAME_TRANSLATION, C.FRAME_ROTATION,
+                            C.FRAME_VELOCITY)
     return (spec.integrator == P.EULER and not spec.contacts
-            and all(s.kind in (C.STATE, C.CONTROL) for s in spec.slots))
+            and all(s.kind in _SUPPORTED_KINDS for s in spec.slots))
 
 
 def _node_kernel(*refs, km: _KModel, slots: Tuple[_SlotInfo, ...],

@@ -80,6 +80,36 @@ def test_parity_flagship_carrot():
     _compare(ctrl, B=2)
 
 
+def test_parity_frame_costs():
+    """Frame placement/velocity residuals (quaternion-chain FK) on the
+    iris_px4 displacement OFFLINE spec — the round-5 scope extension that
+    puts WeightedMpc and free-dynamics offline missions on the kernel."""
+    from eagle_mpc_tpu.ocp import costs as C
+
+    traj = specs.load_trajectory("iris_px4/trajectories/displacement.yaml",
+                                 yaml_dir=MISSIONS)
+    spec, params = P.from_trajectory(
+        traj, dt_ms=60, use_squash=True,
+        integrator="IntegratedActionModelEuler")
+    assert any(s.kind in (C.FRAME_PLACEMENT, C.FRAME_VELOCITY)
+               for s in spec.slots)
+    assert node_pallas.supported(spec)
+    B = 2
+    xs_b, us_b = _candidates(spec, np.asarray(params.x0), B)
+    pd = P.as_device(params)
+
+    def cd(xs, us, pn):
+        return P.calc_diff_all(spec, pd, xs, us, pallas_nodes=pn)
+
+    ref = jax.vmap(lambda xs, us: cd(xs, us, False))(xs_b, us_b)
+    pal = jax.vmap(lambda xs, us: cd(xs, us, True))(xs_b, us_b)
+    for name in ref[0]._fields:
+        a = np.asarray(getattr(ref[0], name))
+        b = np.asarray(getattr(pal[0], name))
+        scale = max(float(np.max(np.abs(a))), 1e-12)
+        assert float(np.max(np.abs(a - b))) / scale < 1e-10, name
+
+
 def test_unbatched_falls_back():
     """Unbatched dispatch must produce the XLA path result (identical)."""
     ctrl, _ = _controller("iris", "hover", 30)
