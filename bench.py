@@ -422,9 +422,13 @@ def main():
     ap.add_argument("--polish-iters", type=int, default=1,
                     help="per-tick DDP polish budget cap (0 = reference "
                          "budget, i.e. the full iters)")
-    ap.add_argument("--pallas", action="store_true",
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="fuse the Riccati backward pass into one Pallas "
-                         "kernel (ops/riccati_pallas.py)")
+                         "kernel (ops/riccati_pallas.py; default ON on TPU "
+                         "since round 5 — in context with the node/rollout "
+                         "kernels it buys ~30 ms/tick, r3's standalone "
+                         "parity verdict notwithstanding)")
     ap.add_argument("--pallas-nodes", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="fuse the per-node linearization sweep into one "
@@ -469,6 +473,8 @@ def main():
         args.pallas_nodes = platform == "tpu"
     if args.pallas_rollout is None:
         args.pallas_rollout = platform == "tpu"
+    if args.pallas is None:
+        args.pallas = platform == "tpu"
 
     if args.sweep:
         rows = []

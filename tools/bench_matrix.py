@@ -84,7 +84,8 @@ def tick_row(name, robot, mission, controller, batch, ticks, reps, alphas,
     # the serving tick config: fused node/rollout kernels on TPU (the
     # round-5 bench defaults; interpret mode is slow on CPU)
     on_tpu = jax.devices()[0].platform == "tpu"
-    ss = fddp.SolverSettings(pallas_nodes=on_tpu, pallas_rollout=on_tpu)
+    ss = fddp.SolverSettings(pallas_nodes=on_tpu, pallas_rollout=on_tpu,
+                             pallas_backward=on_tpu)
     sbs_tick = sbfddp.SbFddpSettings(convergence_init=1e-3, solver=ss)
     sbs_warm = sbfddp.SbFddpSettings(solver=ss)
 
