@@ -177,9 +177,9 @@ def _node_kernel(Fx, Fu, Lx, Lu, Lxx, LxuT, Luu, f, VxT, VxxT,
     lxuT = LxuT[...][0]       # (nu, ndx, BT) — pre-transposed outside
     luu = Luu[...][0]
     gap = f[...][0]           # (ndx, BT)
-    xr = xreg[...]            # (BT,)
-    ur = ureg[...]
-    nf = infeas[...]          # 1.0 where infeasible, else 0.0
+    xr = xreg[0]              # (BT,) — regs ship as (1, Bp) rows: a 1-D
+    ur = ureg[0]              # operand tiled below its full extent trips a
+    nf = infeas[0]            # Mosaic/XLA layout mismatch (T(512) vs T(256))
     dtype = Vx.dtype
 
     eye_x = jnp.eye(ndx, dtype=dtype)[:, :, None]
@@ -229,7 +229,11 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
     rel_eps = float(100.0 * jnp.finfo(dtype).eps)
 
     Bp = ((B + LANES - 1) // LANES) * LANES
-    BT = next(bt for bt in (512, 256, 128) if Bp % bt == 0)
+    # lane tile capped at 256 (was 512): in programs that also carry the
+    # round-5 node/rollout kernels, the 512-lane recursion's VMEM stack
+    # collided with the scoped limit by kilobytes on slot-heavy specs
+    # (measured: 65.42M vs a 65.41M limit on the weighted flagship)
+    BT = next(bt for bt in (256, 128) if Bp % bt == 0)
     nb = Bp // BT
 
     def to_lanes(x):
@@ -248,15 +252,15 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
     VxTL = to_lanes(VxT[:, None])[0]               # (ndx, Bp)
     VxxTL = to_lanes(VxxT[:, None])[0]             # (ndx, ndx, Bp)
     pad1 = (0, Bp - B)
-    xrL = jnp.pad(xreg, pad1)
-    urL = jnp.pad(ureg, pad1)
-    nfL = jnp.pad(1.0 - feasible.astype(dtype), pad1)
+    xrL = jnp.pad(xreg, pad1)[None]
+    urL = jnp.pad(ureg, pad1)[None]
+    nfL = jnp.pad(1.0 - feasible.astype(dtype), pad1)[None]
 
     rev = lambda b, t: (T - 1 - t, 0, 0, b)
     rev3 = lambda b, t: (T - 1 - t, 0, b)
     term2 = lambda b, t: (0, b)
     term3 = lambda b, t: (0, 0, b)
-    vec = lambda b, t: (b,)
+    vec = lambda b, t: (0, b)
 
     in_specs = [
         pl.BlockSpec((1, ndx, ndx, BT), rev),    # Fx
@@ -269,9 +273,9 @@ def _pallas_backward(Fx, Fu, Lx, Lu, Lxx, Lxu, Luu, fs, VxT, VxxT,
         pl.BlockSpec((1, ndx, BT), rev3),        # fs
         pl.BlockSpec((ndx, BT), term2),          # VxT
         pl.BlockSpec((ndx, ndx, BT), term3),     # VxxT
-        pl.BlockSpec((BT,), vec),                # xreg
-        pl.BlockSpec((BT,), vec),                # ureg
-        pl.BlockSpec((BT,), vec),                # infeasible mask
+        pl.BlockSpec((1, BT), vec),              # xreg
+        pl.BlockSpec((1, BT), vec),              # ureg
+        pl.BlockSpec((1, BT), vec),              # infeasible mask
     ]
     out_specs = [
         pl.BlockSpec((1, nu, BT), rev3),         # k
