@@ -977,12 +977,17 @@ def _calc_diff_lanes(spec, xs_n, us_n, weight_n, active_n, refs_n, act_w,
     dtype = xs_n.dtype
     # lane-tile size: 256 amortizes per-op overhead (~10% over 128 at the
     # flagship shape) but doubles the tangent-pass VMEM stack, which scales
-    # with the model: measured 21.4M at BT=128 for nz=27/nj=3 and 101M at
-    # BT=256 for nz=33/nj=5 (> the 64M scoped limit) — large models stay
-    # at 128 lanes
+    # with the model and the slot set: measured 21.4M at BT=128 for
+    # nz=27/nj=3, 101M at BT=256 for nz=33/nj=5, and an over-limit stack at
+    # BT=256 for the frame-cost weighted spec once the backward kernel
+    # shares the program — big models and frame-FK specs stay at 128 lanes
+    from ..ocp import costs as _C
     nz = spec.state.ndx + spec.nu
+    has_frames = any(s.kind not in (_C.STATE, _C.CONTROL)
+                     for s in spec.slots)
     BT = int(os.environ.get("EAGLE_MPC_TPU_NODE_BT", "0")) or \
-        (2 * LANES if (N >= 2 * LANES and nz <= 28) else LANES)
+        (2 * LANES if (N >= 2 * LANES and nz <= 28 and not has_frames)
+         else LANES)
     Np = ((N + BT - 1) // BT) * BT
 
     def lanes(a):
