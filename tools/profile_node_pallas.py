@@ -105,8 +105,9 @@ def main():
             return jnp.sum(jax.vmap(one)(t_ms, x0b, xs, us))
         return cd
 
-    def make_tick(pn, pr=False):
-        ss = fddp.SolverSettings(pallas_nodes=pn, pallas_rollout=pr)
+    def make_tick(pn, pr=False, pb=False):
+        ss = fddp.SolverSettings(pallas_nodes=pn, pallas_rollout=pr,
+                                 pallas_backward=pb)
         sbs = sbfddp.SbFddpSettings(convergence_init=1e-3, solver=ss)
 
         @jax.jit
@@ -130,6 +131,8 @@ def main():
             ("tick XLA", make_tick(False), (params0, t_ms, x0b, xs, us)),
             ("tick PALLAS", make_tick(True), (params0, t_ms, x0b, xs, us)),
             ("tick PALLAS+ROLL", make_tick(True, True),
+             (params0, t_ms, x0b, xs, us)),
+            ("tick ALL-KERNELS", make_tick(True, True, True),
              (params0, t_ms, x0b, xs, us)),
         ]
     platform = jax.devices()[0].platform
