@@ -25,10 +25,11 @@ middle-dim-slice relayout trap measured at 300x in the riccati kernel).
 
 Scope (dispatch falls back to the XLA path otherwise):
 - free dynamics (no contact slots), symplectic-Euler integrator,
-- cost slots of kind STATE / CONTROL only (all 4 activations) — exactly the
-  Carrot/Rail MPC tick menus (/root/reference/src/mpc-controllers/
-  carrot-mpc.cpp:250-296, rail-mpc.cpp:132-152). Offline missions with
-  frame/contact costs keep the XLA path.
+- every non-contact cost kind: STATE / CONTROL (the Carrot/Rail MPC tick
+  menus, /root/reference/src/mpc-controllers/carrot-mpc.cpp:250-296,
+  rail-mpc.cpp:132-152) plus the four operational-frame residuals via a
+  quaternion-chain FK (WeightedMpc and free-dynamics offline missions).
+  Contact specs (friction cone / KKT dynamics) keep the XLA path.
 
 Numerical parity with `ocp.problem.node_calc_diff` is pinned by
 tests/test_node_pallas.py (f64 interpret mode, ~1e-10; f32 on-TPU solves by
